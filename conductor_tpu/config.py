@@ -1,0 +1,153 @@
+"""Single-source configuration for the conductor-tpu framework.
+
+The reference scatters dataset constants (joints=13, dim_pose=26,
+max_motion_length=1800, sample_length) across at least five files
+(`Diffusion_Stage/tools/train.py:50-61`, `tools/eval_new_metrics.py:364-375`,
+`tools/eval_old_metrics.py:132-156`, `tools/eval_new.py:70-94`,
+`utils/get_opt.py:67-81`) and persists run options as a hand-parsed `opt.txt`
+(`options/base_options.py:72-89`, `utils/get_opt.py:29-106`).  Here everything
+lives in frozen dataclasses with JSON round-trip, used by every subsystem.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class DatasetSpec:
+    """ConductorMotion100 constants (reference `README.md:53-84`)."""
+
+    name: str = "ConductorMotion100"
+    n_joints: int = 13          # MOCO upper-body keypoints
+    joint_dim: int = 2          # 2-D keypoints in [0, 1]
+    mel_bins: int = 128         # mel-spectrogram frequency bins
+    mel_hz: int = 90            # mel frames per second
+    motion_hz: int = 30         # motion frames per second
+    clip_seconds: int = 60      # each dataset folder holds one 60-s clip
+    max_motion_length: int = 1800  # 60 s * 30 Hz; denoiser sequence capacity
+
+    @property
+    def pose_dim(self) -> int:
+        return self.n_joints * self.joint_dim  # 26
+
+    @property
+    def mel_per_motion(self) -> int:
+        return self.mel_hz // self.motion_hz  # 3: 90 Hz mel -> 30 Hz motion
+
+
+@dataclass(frozen=True)
+class DenoiserConfig:
+    """MotionTransformer hyperparameters.
+
+    Defaults reproduce the reference training configuration
+    (`Diffusion_Stage/options/train_options.py:7-8` latent 128 / 8 layers;
+    `models/transformer.py:360-374` ff_size=64 and num_heads=8 are the
+    constructor defaults, never overridden by `tools/train.py:20-29`).
+    """
+
+    input_feats: int = 26
+    num_frames: int = 1800
+    latent_dim: int = 128
+    ff_size: int = 64
+    num_layers: int = 8
+    num_heads: int = 8
+    dropout: float = 0.0
+    cond_mask_prob: float = 0.1     # training-time condition dropout (`transformer.py:389`)
+    music_latent_dim: int = 64      # MusicEncoder output width
+    music_width: int = 512          # xf_proj / xf_out width after `linear` (`transformer.py:404`)
+    efficient_attention: bool = True  # linear attention; False = quadratic (`--no_eff`)
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.latent_dim * 4  # `transformer.py:385`
+
+
+@dataclass(frozen=True)
+class DiffusionConfig:
+    """Diffusion process settings (`trainers/ddpm_trainer.py:87-97`)."""
+
+    steps: int = 1000
+    schedule: str = "linear"         # "linear" | "cosine"
+    mean_type: str = "start_x"       # "start_x" | "epsilon" | "previous_x"
+    var_type: str = "fixed_small"    # "fixed_small" | "fixed_large" | "learned" | "learned_range"
+    loss_type: str = "mse"           # "mse" | "rescaled_mse" | "kl" | "rescaled_kl"
+    rescale_timesteps: bool = False
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Stage-2 DDPM training recipe (`ddpm_trainer.py:223-277,324`,
+    `options/train_options.py:14-17`)."""
+
+    lr: float = 2e-4
+    batch_size: int = 32
+    num_epochs: int = 100
+    grad_clip: float = 0.5
+    sample_length: int = 30          # seconds per training window
+    # Loss weights (`ddpm_trainer.py:252-258`)
+    lambda_rec: float = 1.0
+    lambda_feat: float = 1e-6
+    lambda_velocity: float = 0.1
+    lambda_elbow: float = 0.1
+    lambda_head: float = 0.1
+    elbow_clamp: float = 2e-4
+    # The reference masks the reconstruction loss with m_lens=60 (seconds of the
+    # *full* file), so for 30-s (900-frame) windows only the first 60 frames are
+    # supervised (`datasets/dataset.py:448`, `ddpm_trainer.py:143,161-163`).
+    # We treat that as a bug; default supervises the full window.  Set True to
+    # replicate the reference byte-for-byte.
+    replicate_reference_mask: bool = False
+    timestep_sampler: str = "uniform"  # "uniform" | "loss-second-moment"
+    log_every: int = 5
+    save_latest: int = 500
+    save_every_e: int = 5
+    seed: int = 19990319             # reference global seed (`M2SNet_train.py:21-23`)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for pjit/shard_map SPMD."""
+
+    data_axis: str = "data"
+    seq_axis: str = "seq"            # optional T-sharding escape hatch
+    data_parallel: int = -1          # -1 = all devices
+    seq_parallel: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    dataset: DatasetSpec = field(default_factory=DatasetSpec)
+    denoiser: DenoiserConfig = field(default_factory=DenoiserConfig)
+    diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        raw = json.loads(text)
+        return cls(
+            dataset=DatasetSpec(**raw.get("dataset", {})),
+            denoiser=DenoiserConfig(**raw.get("denoiser", {})),
+            diffusion=DiffusionConfig(**raw.get("diffusion", {})),
+            train=TrainConfig(**raw.get("train", {})),
+            mesh=MeshConfig(**raw.get("mesh", {})),
+        )
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+    def replace(self, **sections: Any) -> "Config":
+        return dataclasses.replace(self, **sections)
