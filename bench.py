@@ -1,0 +1,74 @@
+"""Headline benchmark: 60-s conducting-clip generation throughput.
+
+Measures the reference's dominant inference cost (SURVEY.md §3.4): a full
+1000-step DDIM ladder over the flagship MotionTransformer at T=1800 frames
+(60 s at 30 Hz), conditioned on a 5400x128 mel — the exact workload of
+`Diffusion_Stage/tools/visualization.py` / `eval_new_metrics.py`, where the
+reference dispatches 1000 denoiser forwards from Python per clip.
+
+Metric: motion frames generated per second per chip.
+Baseline anchor (BASELINE.json north star): a 60-s clip in < 1 s on v5e-8
+=> 1800 frames / (1 s x 8 chips) = 225 frames/s/chip.  vs_baseline is the
+ratio of measured throughput to that target (>= 1.0 meets the north star).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+NORTH_STAR_FRAMES_PER_SEC_PER_CHIP = 225.0
+
+
+def main() -> None:
+    from conductor_tpu.config import Config
+    from conductor_tpu.train.ddpm_trainer import DDPMTrainer
+
+    cfg = Config()
+    trainer = DDPMTrainer(cfg)
+    rng = jax.random.PRNGKey(0)
+    state = trainer.init_state(rng)
+
+    n_chips = len(jax.devices())
+    B = max(1, n_chips)  # one clip per chip; single chip -> B=1
+    T90 = cfg.dataset.clip_seconds * cfg.dataset.mel_hz    # 5400
+    T30 = cfg.dataset.clip_seconds * cfg.dataset.motion_hz  # 1800
+    mel = jax.random.uniform(rng, (B, T90, cfg.dataset.mel_bins))
+
+    generate = jax.jit(lambda st, m, r: trainer.generate(st, m, r))
+
+    # compile
+    out = generate(state, mel, rng)
+    out.block_until_ready()
+    assert out.shape == (B, T30, cfg.dataset.pose_dim)
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = generate(state, mel, jax.random.fold_in(rng, i))
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+
+    frames_per_sec_per_chip = (B * T30) / best / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "ddim1000_60s_clip_motion_frames_per_sec_per_chip",
+                "value": round(frames_per_sec_per_chip, 2),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(
+                    frames_per_sec_per_chip / NORTH_STAR_FRAMES_PER_SEC_PER_CHIP, 4
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

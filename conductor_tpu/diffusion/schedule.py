@@ -93,6 +93,10 @@ def schedule_from_betas(
 
     alphas = 1.0 - betas
     alphas_cumprod = np.cumprod(alphas, axis=0)
+    # "linear" extended to few steps ends at beta=1 exactly (alpha_bar -> 0);
+    # clamp so the reciprocal tables stay finite instead of poisoning jit
+    # outputs with inf (the reference simply produces inf here).
+    acp_safe = np.maximum(alphas_cumprod, 1e-12)
     alphas_cumprod_prev = np.append(1.0, alphas_cumprod[:-1])
     alphas_cumprod_next = np.append(alphas_cumprod[1:], 0.0)
 
@@ -116,8 +120,8 @@ def schedule_from_betas(
         sqrt_alphas_cumprod=j(np.sqrt(alphas_cumprod)),
         sqrt_one_minus_alphas_cumprod=j(np.sqrt(1.0 - alphas_cumprod)),
         log_one_minus_alphas_cumprod=j(np.log(1.0 - alphas_cumprod)),
-        sqrt_recip_alphas_cumprod=j(np.sqrt(1.0 / alphas_cumprod)),
-        sqrt_recipm1_alphas_cumprod=j(np.sqrt(1.0 / alphas_cumprod - 1)),
+        sqrt_recip_alphas_cumprod=j(np.sqrt(1.0 / acp_safe)),
+        sqrt_recipm1_alphas_cumprod=j(np.sqrt(1.0 / acp_safe - 1)),
         posterior_variance=j(posterior_variance),
         posterior_log_variance_clipped=j(posterior_log_variance_clipped),
         posterior_mean_coef1=j(

@@ -1,0 +1,114 @@
+"""Headline evaluator: FGD / Diversity / Beat-Consistency / MSE / SE / MPE.
+
+Rebuild of `Diffusion_Stage/tools/eval_new_metrics.py:94-390` (plus the
+old-metric MSE/SE sweeps, `eval_old_metrics.py`, `eval_new.py`), with the
+per-folder Python loop replaced by *batched on-device generation*: all test
+clips are generated in sharded batches (the per-clip 1000-step DDIM ladder was
+the reference's dominant eval cost, SURVEY.md §3.5), then features are
+extracted in one batched ST-GCN pass; only beat tracking and the Fréchet
+sqrtm stay on host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import ConductorMotionDataset
+from ..train.ddpm_trainer import DDPMTrainer, TrainState
+from . import metrics as M
+
+
+@dataclass
+class EvalResult:
+    fgd: float
+    diversity: float
+    feat_dist: float
+    mse: float
+    sync_error: float
+    mpe: float
+    sdp: float
+    beat_consistency_real: float
+    beat_consistency_generated: float
+
+    def as_dict(self) -> dict:
+        return self.__dict__.copy()
+
+
+class DiffusionEvaluator:
+    """Generate on the test split and score against ground truth."""
+
+    def __init__(self, trainer: DDPMTrainer, batch_size: int = 8):
+        self.trainer = trainer
+        self.batch_size = batch_size
+
+    def _latents(self, state: TrainState, motion: jnp.ndarray) -> np.ndarray:
+        """Frozen stage-1 ST-GCN 64-d latents (`eval_new_metrics.py:143-150`)."""
+        feats = self.trainer.feat_model.apply(
+            state.feat_variables, motion, method=self.trainer.feat_model.features
+        )
+        return np.asarray(feats[-1])
+
+    def evaluate(
+        self,
+        state: TrainState,
+        dataset_root: str,
+        *,
+        split: str = "test",
+        num_steps: int | None = None,
+        max_clips: int | None = None,
+        rng: jax.Array | None = None,
+        compute_beats: bool = True,
+    ) -> EvalResult:
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        spec = self.trainer.cfg.dataset
+        ds = ConductorMotionDataset(
+            dataset_root, split,
+            sample_length=spec.clip_seconds, mode="sequential", spec=spec,
+        )
+        n = len(ds) if max_clips is None else min(max_clips, len(ds))
+
+        real_list, gen_list = [], []
+        real_lat, gen_lat = [], []
+        bc_real, bc_gen = [], []
+
+        for i0 in range(0, n, self.batch_size):
+            idxs = range(i0, min(i0 + self.batch_size, n))
+            mel = np.stack([ds[i][0] for i in idxs])
+            motion = np.stack([ds[i][1] for i in idxs])
+            gen = self.trainer.generate(
+                state, jnp.asarray(mel), jax.random.fold_in(rng, i0),
+                num_steps=num_steps,
+            )
+            B, T = gen.shape[0], gen.shape[1]
+            gen = np.asarray(gen).reshape(B, T, spec.n_joints, spec.joint_dim)
+
+            real_list.append(motion)
+            gen_list.append(gen)
+            real_lat.append(self._latents(state, jnp.asarray(motion)))
+            gen_lat.append(self._latents(state, jnp.asarray(gen)))
+            if compute_beats:
+                for b in range(B):
+                    bc_real.append(M.beat_consistency(motion[b], mel[b]))
+                    bc_gen.append(M.beat_consistency(gen[b], mel[b]))
+
+        real = np.concatenate(real_list)
+        gen = np.concatenate(gen_list)
+        real_lat_flat = np.concatenate([x.reshape(-1, x.shape[-1]) for x in real_lat])
+        gen_lat_flat = np.concatenate([x.reshape(-1, x.shape[-1]) for x in gen_lat])
+        per_clip_gen_lat = [x.reshape(-1, x.shape[-1]) for g in gen_lat for x in g]
+
+        return EvalResult(
+            fgd=M.frechet_distance(gen_lat_flat, real_lat_flat),
+            diversity=M.diversity_score(per_clip_gen_lat),
+            feat_dist=M.feat_distance(real_lat_flat, gen_lat_flat),
+            mse=M.motion_mse(real, gen),
+            sync_error=M.sync_error(real_lat_flat, gen_lat_flat),
+            mpe=M.mean_perceptual_error(real_lat_flat, gen_lat_flat),
+            sdp=M.std_percentage(real, gen),
+            beat_consistency_real=float(np.mean(bc_real)) if bc_real else float("nan"),
+            beat_consistency_generated=float(np.mean(bc_gen)) if bc_gen else float("nan"),
+        )

@@ -1,0 +1,100 @@
+"""M2SGAN generator and WGAN critic (stage-1 adversarial baseline).
+
+Rebuilds of reference `Contrastive_Stage/models/Generator.py:34-100` and
+`models/Discriminator.py:5-41`:
+
+- Generator: frozen-able MusicEncoder (B, T30, 64) in parallel with a noise
+  path — (B, S, 8) one-vector-per-second noise upsampled x30 by a
+  ConvTranspose stack (strides 1, 5, 3, 2) to (B, T30, 64) + BN — concatenated
+  to (B, T30, 128) and decoded by a 6-layer dilated TCN + MLP + sigmoid into
+  (B, T30, 13, 2) poses;
+- Discriminator_1DCNN: 26-channel 1-D conv critic with VALID max-pools
+  (time /12), per-frame MLP to a scalar, mean over time (no BN — WGAN-GP).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .music_encoder import MusicEncoder
+from .tcn import DilatedTCN
+
+
+class PoseDecoderTCN(nn.Module):
+    """TCN + MLP head + sigmoid (`Generator.py:34-49`)."""
+
+    output_size: int = 26
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        y = DilatedTCN(
+            output_size=64, n_layers=6, n_channel=64, kernel_size=5,
+            dtype=self.dtype,
+        )(x, train)
+        y = nn.relu(nn.Dense(64, dtype=self.dtype)(y))
+        y = nn.relu(nn.Dense(64, dtype=self.dtype)(y))
+        return nn.sigmoid(nn.Dense(self.output_size, dtype=self.dtype)(y))
+
+
+class Generator(nn.Module):
+    """(mel (B, S*90, 128), noise (B, S, 8)) -> motion (B, S*30, 13, 2)
+    (`Generator.py:52-77`)."""
+
+    n_joints: int = 13
+    freeze_music_encoder: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.music_encoder = MusicEncoder(dtype=self.dtype)
+        self.decoder = PoseDecoderTCN(self.n_joints * 2, dtype=self.dtype)
+        # noise upsampler x30 (strides 1*5*3*2), `Generator.py:59-64`; SAME
+        # conv-transpose keeps L_out = L * stride exactly.
+        self.up1 = nn.ConvTranspose(16, (3,), strides=(1,), padding="SAME", dtype=self.dtype)
+        self.up2 = nn.ConvTranspose(16, (11,), strides=(5,), padding="SAME", dtype=self.dtype)
+        self.up3 = nn.ConvTranspose(32, (5,), strides=(3,), padding="SAME", dtype=self.dtype)
+        self.up4 = nn.ConvTranspose(64, (6,), strides=(2,), padding="SAME", dtype=self.dtype)
+        self.noise_bn = nn.BatchNorm(dtype=self.dtype)
+
+    def _hidden(self, mel: jnp.ndarray, noise: jnp.ndarray, train: bool) -> jnp.ndarray:
+        hx = self.music_encoder(mel, train=False if self.freeze_music_encoder else train)
+        if self.freeze_music_encoder:
+            # transferred from M2SNet and frozen (`M2SGAN_train.py:61-64`)
+            hx = jax.lax.stop_gradient(hx)
+        h = nn.relu(self.up1(noise))
+        h = nn.relu(self.up2(h))
+        h = nn.relu(self.up3(h))
+        h = nn.relu(self.up4(h))
+        h = self.noise_bn(h, use_running_average=not train)
+        return jnp.concatenate([hx, h], axis=-1)  # (B, T30, 128)
+
+    def __call__(self, mel: jnp.ndarray, noise: jnp.ndarray, train: bool = False):
+        h = self._hidden(mel, noise, train)
+        y = self.decoder(h, train)
+        B, T, _ = y.shape
+        return y.reshape(B, T, self.n_joints, 2)
+
+    def features(self, mel: jnp.ndarray, noise: jnp.ndarray, train: bool = False):
+        """The concatenated conditioning features (`Generator.py:79-86`)."""
+        return self._hidden(mel, noise, train)
+
+
+class Discriminator1DCNN(nn.Module):
+    """WGAN critic (`Discriminator.py:5-41`): motion (B, T, 13, 2) -> (B, 1)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, motion: jnp.ndarray) -> jnp.ndarray:
+        B, T = motion.shape[0], motion.shape[1]
+        x = motion.reshape(B, T, -1)  # 26 channels
+        for pool_stride in (3, 2, 2):
+            x = nn.Conv(64, (5,), padding=((2, 2),), dtype=self.dtype)(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (5,), strides=(pool_stride,), padding="VALID")
+        x = nn.relu(nn.Dense(32, dtype=self.dtype)(x))
+        x = nn.relu(nn.Dense(32, dtype=self.dtype)(x))
+        x = nn.Dense(1, dtype=self.dtype)(x)
+        return x.mean(axis=1)

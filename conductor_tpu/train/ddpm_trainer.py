@@ -1,0 +1,307 @@
+"""Stage-2 diffusion trainer: jitted SPMD train step + scan-based generation.
+
+Rebuild of reference `Diffusion_Stage/trainers/ddpm_trainer.py:82-370` as a
+functional TPU pipeline:
+
+- one jitted, donated `train_step` computing the full 5-term loss
+  (`backward_G`, `ddpm_trainer.py:223-258`):
+      1·masked-MSE + 1e-6·L1(frozen ST-GCN latents) + 0.1·velocity
+      − 0.1·clamp(elbow, ±2e-4) + 0.1·head
+  with global-norm clipping 0.5 and Adam lr 2e-4 (`:270-277,324`);
+- data parallelism = batch sharding over the mesh's 'data' axis; gradients
+  all-reduce implicitly (replacing MMDistributedDataParallel);
+- generation = music encoded once, then the whole DDIM ladder as one
+  `lax.scan` (replacing the reference's 1000 host-dispatched denoiser calls
+  per clip, `generate_music_motion`, `:183-201`), with optional timestep
+  respacing and classifier-free guidance the reference lacks;
+- the frozen stage-1 ST-GCN feature network (`MotionPretrain`, `:66-79`) is a
+  separate variable collection, never optimized.
+
+Quirk handling (SURVEY.md §7.4): the reference's `m_lens` is 60 — seconds of
+the full file, not frames of the window — so for 30-s/900-frame windows the
+reconstruction mask covers only the first 60 frames (`datasets/dataset.py:448`,
+`ddpm_trainer.py:143,161-163`).  `TrainConfig.replicate_reference_mask`
+toggles byte-for-byte replication; the default supervises every frame.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..diffusion import (
+    MeanType,
+    VarType,
+    ddim_sample_loop,
+    make_schedule,
+    p_sample_loop,
+    respaced_schedule,
+    space_timesteps,
+    training_losses,
+)
+from ..diffusion import timestep_samplers as ts
+from ..models import MotionTransformer, generate_src_mask, guided_denoiser
+from ..models.stgcn import MotionEncoderSTGCN
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any          # frozen music-encoder BN stats
+    feat_variables: Any       # frozen stage-1 ST-GCN (params + batch_stats)
+    opt_state: Any
+    sampler_state: Optional[ts.SamplerState] = None
+
+
+def make_denoiser(cfg: Config) -> MotionTransformer:
+    d = cfg.denoiser
+    return MotionTransformer(
+        input_feats=d.input_feats,
+        num_frames=d.num_frames,
+        latent_dim=d.latent_dim,
+        ff_size=d.ff_size,
+        num_layers=d.num_layers,
+        num_heads=d.num_heads,
+        dropout=d.dropout,
+        cond_mask_prob=d.cond_mask_prob,
+        music_latent_dim=d.music_latent_dim,
+        music_width=d.music_width,
+        efficient=d.efficient_attention,
+    )
+
+
+class DDPMTrainer:
+    """Owns the static pieces (model defs, optimizer, schedule) and exposes
+    jitted train/generate functions over `TrainState` pytrees."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.model = make_denoiser(cfg)
+        self.feat_model = MotionEncoderSTGCN()
+        self.sched = make_schedule(cfg.diffusion.schedule, cfg.diffusion.steps)
+        self.mean_type = MeanType(cfg.diffusion.mean_type)
+        self.var_type = VarType(cfg.diffusion.var_type)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.train.grad_clip),
+            optax.adam(cfg.train.lr),
+        )
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(
+        self,
+        rng: jax.Array,
+        *,
+        stage1_music_params: Any = None,
+        stage1_music_stats: Any = None,
+        stage1_motion_variables: Any = None,
+    ) -> TrainState:
+        """Initialize params; optionally graft the stage-1 encoder subtrees —
+        the cross-stage checkpoint contract (`transformer.py:394-401`
+        music, `ddpm_trainer.py:71-78` motion).  Without a stage-1 checkpoint
+        the encoders stay randomly initialized, matching the reference's
+        `strict=False` fallback."""
+        ds = self.cfg.dataset
+        sl = self.cfg.train.sample_length
+        mel = jnp.zeros((1, sl * ds.mel_hz, ds.mel_bins))
+        x = jnp.zeros((1, sl * ds.motion_hz, ds.pose_dim))
+        t = jnp.zeros((1,), jnp.int32)
+        p_rng, f_rng = jax.random.split(rng)
+        variables = self.model.init(
+            {"params": p_rng}, mel, x, t, method=self.model.init_with_music
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        if stage1_music_params is not None:
+            params = flax.core.unfreeze(params)
+            params["music_encoder"] = stage1_music_params
+            if stage1_music_stats is not None:
+                batch_stats = flax.core.unfreeze(batch_stats)
+                batch_stats["music_encoder"] = stage1_music_stats
+
+        if stage1_motion_variables is None:
+            motion = jnp.zeros((1, sl * ds.motion_hz, ds.n_joints, ds.joint_dim))
+            feat_variables = self.feat_model.init(f_rng, motion)
+        else:
+            feat_variables = stage1_motion_variables
+
+        sampler_state = None
+        if self.cfg.train.timestep_sampler == "loss-second-moment":
+            sampler_state = ts.init_state(self.sched.num_timesteps)
+
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            feat_variables=feat_variables,
+            opt_state=self.tx.init(params),
+            sampler_state=sampler_state,
+        )
+
+    # ------------------------------------------------------------- train step
+
+    def _losses(self, params, state: TrainState, batch, t, rng):
+        """The 5-term objective (`backward_G`, `ddpm_trainer.py:223-258`)."""
+        mel, motion, m_lens = batch
+        B, T = motion.shape[0], motion.shape[1]
+        tcfg = self.cfg.train
+        noise_rng, cond_rng = jax.random.split(rng)
+
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        xf_proj, xf_out = self.model.apply(
+            variables, mel, True, method=self.model.encode_music,
+            rngs={"cond": cond_rng},
+        )
+        if tcfg.replicate_reference_mask:
+            cur_len = jnp.minimum(T, m_lens)
+        else:
+            cur_len = jnp.full_like(m_lens, T)
+        src_mask = generate_src_mask(T, cur_len)
+
+        def model_fn(x, tt):
+            return self.model.apply(
+                variables, x, tt, xf_proj, xf_out, src_mask, True
+            )
+
+        noise = jax.random.normal(noise_rng, (B, T, motion.shape[2] * motion.shape[3]))
+        terms = training_losses(
+            self.sched, model_fn, motion, t,
+            noise.reshape(motion.shape), mean_type=self.mean_type,
+        )
+        target, pred = terms["target"], terms["pred"]
+
+        # masked reconstruction (`ddpm_trainer.py:232-234`)
+        rec = ((pred - target) ** 2).mean(axis=-1)
+        mask2d = src_mask[..., 0]
+        loss_rec = (rec * mask2d).sum() / mask2d.sum()
+
+        # frozen ST-GCN latent L1 (`ddpm_trainer.py:228-238`)
+        J = self.cfg.dataset.n_joints
+        feat_fake = self.feat_model.apply(
+            state.feat_variables, pred.reshape(B, T, J, 2),
+            method=self.feat_model.features,
+        )[-1]
+        feat_real = self.feat_model.apply(
+            state.feat_variables, target.reshape(B, T, J, 2),
+            method=self.feat_model.features,
+        )[-1]
+        loss_feat = jnp.abs(feat_fake - feat_real).mean()
+
+        loss_elbow = jnp.clip(
+            terms["velocity_elbow"], -tcfg.elbow_clamp, tcfg.elbow_clamp
+        )
+        loss = (
+            tcfg.lambda_rec * loss_rec
+            + tcfg.lambda_feat * loss_feat
+            + tcfg.lambda_velocity * terms["velocity"]
+            - tcfg.lambda_elbow * loss_elbow
+            + tcfg.lambda_head * terms["velocity_head"]
+        )
+        metrics = {
+            "loss": loss,
+            "loss_mot_rec": loss_rec,
+            "loss_mot_feat": loss_feat,
+            "loss_velocity": terms["velocity"],
+            "loss_elbow": loss_elbow,
+            "loss_head": terms["velocity_head"],
+            "loss_body": terms["velocity_body"],
+            "mse_per_sample": terms["mse"],
+        }
+        return loss, metrics
+
+    def _train_step_impl(self, state: TrainState, batch, rng: jax.Array):
+        t_rng, loss_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+        B = batch[1].shape[0]
+        if state.sampler_state is not None:
+            t, weights = ts.loss_aware_sample(state.sampler_state, t_rng, B)
+        else:
+            t, weights = ts.uniform_sample(t_rng, self.sched.num_timesteps, B)
+
+        grads, metrics = jax.grad(
+            lambda p: self._losses(p, state, batch, t, loss_rng), has_aux=True
+        )(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        sampler_state = state.sampler_state
+        if sampler_state is not None:
+            sampler_state = ts.update_state(sampler_state, t, metrics["mse_per_sample"])
+
+        metrics = {k: v for k, v in metrics.items() if k != "mse_per_sample"}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=params,
+                opt_state=opt_state,
+                sampler_state=sampler_state,
+            ),
+            metrics,
+        )
+
+    def train_step(self, state: TrainState, batch, rng: jax.Array):
+        """One jitted optimizer step.  ``batch = (mel, motion, m_lens)`` with
+        mel (B, T90, 128), motion (B, T30, J, 2), m_lens (B,) int32."""
+        return self._train_step(state, batch, rng)
+
+    # -------------------------------------------------------------- sampling
+
+    def generate(
+        self,
+        state: TrainState,
+        mel: jnp.ndarray,
+        rng: jax.Array,
+        *,
+        num_steps: int | None = None,
+        guidance_scale: float = 1.0,
+        sampler: str = "ddim",
+    ) -> jnp.ndarray:
+        """mel (B, T90, 128) -> motion (B, T30, 26).
+
+        Replaces `generate_music_motion` (`ddpm_trainer.py:183-201`): encode
+        once, then a single scan over the (optionally respaced) ladder."""
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        xf_proj, xf_out = self.model.apply(
+            variables, mel, method=self.model.encode_music
+        )
+        B, T = xf_proj.shape[0], xf_proj.shape[1]
+        src_mask = jnp.ones((B, T, 1))
+
+        if num_steps is not None and num_steps < self.sched.num_timesteps:
+            sched = respaced_schedule(
+                self.cfg.diffusion.schedule,
+                self.cfg.diffusion.steps,
+                space_timesteps(self.cfg.diffusion.steps, f"ddim{num_steps}"),
+            )
+        else:
+            sched = self.sched
+
+        null_cond = None
+        if guidance_scale != 1.0:
+            null_cond = self.model.apply(
+                variables, B, T, method=self.model.encode_null
+            )
+
+        def apply_fn(params, x, tt, xp, xo, sm):
+            return self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats}, x, tt, xp, xo, sm
+            )
+
+        model_fn = guided_denoiser(
+            apply_fn, state.params, xf_proj, xf_out, src_mask,
+            guidance_scale=guidance_scale, null_cond=null_cond,
+        )
+        loop = ddim_sample_loop if sampler == "ddim" else p_sample_loop
+        return loop(
+            sched, model_fn, (B, T, self.cfg.denoiser.input_feats), rng,
+            mean_type=self.mean_type, var_type=self.var_type,
+            clip_denoised=False,  # `ddpm_trainer.py:173,193`
+        )

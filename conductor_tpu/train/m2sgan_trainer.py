@@ -1,0 +1,208 @@
+"""Stage-1 WGAN-GP trainer: M2SGAN adversarial motion generation.
+
+Rebuild of reference `Contrastive_Stage/M2SGAN_train.py:36-147` as jitted
+steps.  Recipe (`:76-141` + argparse defaults `:168-196`):
+
+- per batch: one fake forward, then 5 critic iterations on the *same* fake
+  (detached), then one generator step;
+- critic loss = -E[D(real)] + E[D(fake)] + 10 * GP, where GP is the
+  'real_fake' interpolation term of `utils/loss.py:114-123`.  Two reference
+  quirks replicated exactly: the gradient norm is taken over the WHOLE batch
+  tensor (not per-sample), and the penalty center is 0, not 1 (`loss.py:69`)
+  — i.e. GP = || dD/dx at interp ||_F^2;
+- generator loss = 1*(-E[D(fake)]) + 0.05*SyncLoss + 0*MSE, SyncLoss = L1
+  between frozen-M2SNet motion-encoder latents of fake and real
+  (`loss.py:30-46`);
+- RMSprop lr 5e-4 for both (torch defaults: decay 0.99, eps 1e-8);
+- the generator's music encoder is transferred from stage-1 M2SNet and frozen
+  (`M2SGAN_train.py:60-64`).
+
+The double-backward the reference needs for GP (`autograd.grad` inside the
+loss) is just `jax.grad` of a function that itself calls `jax.grad` —
+functionally transparent on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.generator import Discriminator1DCNN, Generator
+from ..models.stgcn import MotionEncoderSTGCN
+
+
+class GANState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    g_params: Any
+    g_batch_stats: Any
+    d_params: Any
+    g_opt: Any
+    d_opt: Any
+    sync_variables: Any  # frozen M2SNet motion encoder (params + batch_stats)
+
+
+class M2SGANTrainer:
+    def __init__(
+        self,
+        sample_length: int = 30,
+        lr: float = 5e-4,
+        critic_iters: int = 5,
+        w_adv: float = 1.0,
+        w_sync: float = 0.05,
+        w_mse: float = 0.0,
+        w_gp: float = 10.0,
+        noise_dim: int = 8,
+    ):
+        self.sample_length = sample_length
+        self.critic_iters = critic_iters
+        self.w_adv, self.w_sync, self.w_mse, self.w_gp = w_adv, w_sync, w_mse, w_gp
+        self.noise_dim = noise_dim
+        self.G = Generator(freeze_music_encoder=True)
+        self.D = Discriminator1DCNN()
+        self.sync_encoder = MotionEncoderSTGCN()
+        self.g_tx = optax.rmsprop(lr, decay=0.99, eps=1e-8)
+        self.d_tx = optax.rmsprop(lr, decay=0.99, eps=1e-8)
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+
+    def init_state(
+        self,
+        rng: jax.Array,
+        *,
+        m2snet_music_params: Any = None,
+        m2snet_music_stats: Any = None,
+        m2snet_motion_variables: Any = None,
+    ) -> GANState:
+        S = self.sample_length
+        mel = jnp.zeros((2, S * 90, 128))
+        motion = jnp.zeros((2, S * 30, 13, 2))
+        noise = jnp.zeros((2, S, self.noise_dim))
+        g_rng, d_rng, s_rng = jax.random.split(rng, 3)
+        g_vars = self.G.init(g_rng, mel, noise)
+        d_vars = self.D.init(d_rng, motion)
+
+        g_params = g_vars["params"]
+        g_stats = g_vars.get("batch_stats", {})
+        if m2snet_music_params is not None:
+            # transfer the stage-1 music encoder (`M2SGAN_train.py:61-62`)
+            g_params = flax.core.unfreeze(g_params)
+            g_params["music_encoder"] = m2snet_music_params
+            if m2snet_music_stats is not None:
+                g_stats = flax.core.unfreeze(g_stats)
+                g_stats["music_encoder"] = m2snet_music_stats
+
+        if m2snet_motion_variables is None:
+            sync_vars = self.sync_encoder.init(s_rng, motion)
+        else:
+            sync_vars = m2snet_motion_variables
+
+        return GANState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_params,
+            g_batch_stats=g_stats,
+            d_params=d_vars["params"],
+            g_opt=self.g_tx.init(g_params),
+            d_opt=self.d_tx.init(d_vars["params"]),
+            sync_variables=sync_vars,
+        )
+
+    # ------------------------------------------------------------------ loss
+
+    def _gradient_penalty(self, d_params, real, fake, rng):
+        """'real_fake' GP term (`utils/loss.py:114-123`): whole-tensor gradient
+        norm, center 0 => sum of squared gradient entries."""
+        alpha = jax.random.uniform(rng, (real.shape[0], 1, 1, 1))
+        interp = alpha * real + (1 - alpha) * fake
+
+        def d_sum(x):
+            return self.D.apply({"params": d_params}, x).sum()
+
+        grads = jax.grad(d_sum)(interp)
+        return (grads**2).sum()
+
+    def _train_step_impl(self, state: GANState, batch, rng: jax.Array):
+        mel, real = batch
+        B = real.shape[0]
+        step_rng = jax.random.fold_in(rng, state.step)
+        noise_rng, gp_rng = jax.random.split(step_rng)
+        noise = jax.random.normal(noise_rng, (B, self.sample_length, self.noise_dim))
+
+        # one fake, reused for all critic iterations (`M2SGAN_train.py:85-103`)
+        g_vars = {"params": state.g_params, "batch_stats": state.g_batch_stats}
+        fake_detached = jax.lax.stop_gradient(
+            self.G.apply(g_vars, mel, noise, False)
+        )
+
+        # ---- critic: `critic_iters` updates -------------------------------
+        def d_loss_fn(d_params, gp_key):
+            real_out = self.D.apply({"params": d_params}, real)
+            fake_out = self.D.apply({"params": d_params}, fake_detached)
+            gp = self._gradient_penalty(d_params, real, fake_detached, gp_key)
+            loss = -real_out.mean() + fake_out.mean() + self.w_gp * gp
+            return loss, (real_out.mean(), fake_out.mean(), gp)
+
+        def critic_body(i, carry):
+            d_params, d_opt, _ = carry
+            key = jax.random.fold_in(gp_rng, i)
+            grads, aux = jax.grad(d_loss_fn, has_aux=True)(d_params, key)
+            updates, d_opt = self.d_tx.update(grads, d_opt, d_params)
+            d_params = optax.apply_updates(d_params, updates)
+            return d_params, d_opt, aux
+
+        init_aux = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+        d_params, d_opt, (real_m, fake_m, gp) = jax.lax.fori_loop(
+            0, self.critic_iters, critic_body, (state.d_params, state.d_opt, init_aux)
+        )
+
+        # ---- generator -----------------------------------------------------
+        def g_loss_fn(g_params):
+            out, mut = self.G.apply(
+                {"params": g_params, "batch_stats": state.g_batch_stats},
+                mel, noise, True, mutable=["batch_stats"],
+            )
+            adv = -self.D.apply({"params": d_params}, out).mean()
+            sync = self._sync_loss(state.sync_variables, out, real)
+            mse = ((out - real) ** 2).mean()
+            loss = self.w_adv * adv + self.w_sync * sync + self.w_mse * mse
+            return loss, (mut["batch_stats"], adv, sync, mse)
+
+        grads, (g_stats, adv, sync, mse) = jax.grad(g_loss_fn, has_aux=True)(
+            state.g_params
+        )
+        updates, g_opt = self.g_tx.update(grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+
+        metrics = {
+            "w_distance": real_m - fake_m,
+            "gp": gp,
+            "loss_adv": adv,
+            "loss_sync": sync,
+            "loss_mse": mse,
+        }
+        return (
+            state.replace(
+                step=state.step + 1,
+                g_params=g_params, g_batch_stats=g_stats,
+                d_params=d_params, g_opt=g_opt, d_opt=d_opt,
+            ),
+            metrics,
+        )
+
+    def _sync_loss(self, sync_vars, fake, real):
+        """L1 between frozen motion-encoder latents (`utils/loss.py:30-46`)."""
+        ff = self.sync_encoder.apply(sync_vars, fake, method=self.sync_encoder.features)[-1]
+        rf = self.sync_encoder.apply(sync_vars, real, method=self.sync_encoder.features)[-1]
+        return jnp.abs(ff - jax.lax.stop_gradient(rf)).mean()
+
+    def train_step(self, state: GANState, batch, rng: jax.Array):
+        """batch = (mel (B, S*90, 128), real_motion (B, S*30, 13, 2))."""
+        return self._train_step(state, batch, rng)
+
+    def generate(self, state: GANState, mel: jnp.ndarray, rng: jax.Array):
+        B = mel.shape[0]
+        noise = jax.random.normal(rng, (B, self.sample_length, self.noise_dim))
+        g_vars = {"params": state.g_params, "batch_stats": state.g_batch_stats}
+        return self.G.apply(g_vars, mel, noise, False)

@@ -1,0 +1,156 @@
+"""Stage-1 contrastive trainer: M2SNet sync learning.
+
+Rebuild of reference `Contrastive_Stage/M2SNet_train.py:35-180` as one jitted
+step: pair sampling (easy/hard/super_hard) happens *inside* the step via
+`conductor_tpu.data.pairs`, the four M2SNet forwards and the 4-term BCE run
+fused, and data parallelism is batch sharding (replacing
+`torch.nn.DataParallel`, `M2SNet_train.py:60`).
+
+Loss (`M2SNet_train.py:92-96`): BCE of per-sample mean sync probability,
+pred_11 -> 1, pred_12 -> 0, pred_22 -> 1, pred_21 -> 0.  Adam lr 1e-3.
+Epoch 0 always trains with easy negatives (`:81-86`); the caller selects the
+strategy per epoch.  `hard_test` mode (training on the test split to obtain
+the MPE measuring network, `:119-124`) is the same step on a different split.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.pairs import STRATEGIES, build_pairs
+from ..models import M2SNet
+
+
+class M2SNetState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+class M2SNetTrainer:
+    def __init__(
+        self,
+        sample_length: int = 30,
+        clip_length: int = 10,
+        lr: float = 1e-3,
+        latent_dim: int = 64,
+    ):
+        self.sample_length = sample_length
+        self.clip_length = clip_length
+        self.model = M2SNet(latent_dim=latent_dim)
+        self.tx = optax.adam(lr)
+        self._steps = {
+            s: jax.jit(partial(self._train_step_impl, strategy=s), donate_argnums=(0,))
+            for s in STRATEGIES
+        }
+        self._acc = jax.jit(partial(self._accuracy_impl))
+
+    def init_state(self, rng: jax.Array) -> M2SNetState:
+        c30 = self.clip_length * 30
+        mel = jnp.zeros((2, c30 * 3, 128))
+        motion = jnp.zeros((2, c30, 13, 2))
+        variables = self.model.init(rng, mel, motion)
+        return M2SNetState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.tx.init(variables["params"]),
+        )
+
+    # ----------------------------------------------------------------- step
+
+    def _forward4(self, params, batch_stats, pairs, train: bool):
+        """Four M2SNet passes, chaining BN running stats like the reference's
+        sequential calls (`M2SNet_train.py:88-91`)."""
+        m1, m2, p1, p2 = pairs
+        preds = []
+        stats = batch_stats
+        for mel, mot in ((m1, p1), (m1, p2), (m2, p2), (m2, p1)):
+            if train:
+                out, mut = self.model.apply(
+                    {"params": params, "batch_stats": stats}, mel, mot, True,
+                    mutable=["batch_stats"],
+                )
+                stats = mut["batch_stats"]
+            else:
+                out = self.model.apply(
+                    {"params": params, "batch_stats": stats}, mel, mot, False
+                )
+            preds.append(out)
+        return preds, stats
+
+    @staticmethod
+    def _bce(pred: jnp.ndarray, target: float) -> jnp.ndarray:
+        p = jnp.clip(pred.mean(axis=1), 1e-7, 1 - 1e-7)  # per-sample mean prob
+        t = jnp.full_like(p, target)
+        return -(t * jnp.log(p) + (1 - t) * jnp.log(1 - p)).mean()
+
+    def _train_step_impl(self, state: M2SNetState, batch, rng, *, strategy: str):
+        music, motion = batch
+        pair_rng = jax.random.fold_in(rng, state.step)
+        pairs = build_pairs(
+            pair_rng, music, motion, strategy, self.sample_length, self.clip_length
+        )
+
+        def loss_fn(params):
+            (p11, p12, p22, p21), stats = self._forward4(
+                params, state.batch_stats, pairs, train=True
+            )
+            loss = (
+                self._bce(p11, 1.0) + self._bce(p12, 0.0)
+                + self._bce(p22, 1.0) + self._bce(p21, 0.0)
+            )
+            B = p11.shape[0]
+            tp = (p11 > 0.5).sum()
+            tf = (p12 < 0.5).sum()
+            acc = (tp + tf) / (B * self.clip_length * 2 * 30)
+            metrics = {
+                "loss": loss,
+                "accuracy": acc,
+                "sync_prob": p11.mean(),
+                "non_sync_prob": p12.mean(),
+            }
+            return loss, (stats, metrics)
+
+        grads, (stats, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(
+                step=state.step + 1, params=params,
+                batch_stats=stats, opt_state=opt_state,
+            ),
+            metrics,
+        )
+
+    def train_step(self, state, batch, rng, strategy: str = "hard"):
+        """batch = (music (B, S*90, 128), motion (B, S*30, 13, 2))."""
+        return self._steps[strategy](state, batch, rng)
+
+    # ----------------------------------------------------------------- eval
+
+    def _accuracy_impl(self, state: M2SNetState, pairs):
+        (p11, p12, p22, p21), _ = self._forward4(
+            state.params, state.batch_stats, pairs, train=False
+        )
+        B = p11.shape[0]
+        tp = (p11 > 0.5).sum()
+        tf = (p12 < 0.5).sum()
+        acc = (tp + tf) / (B * self.clip_length * 2 * 30)
+        return {"accuracy": acc, "sync_prob": p11.mean(), "non_sync_prob": p12.mean()}
+
+    def evaluate(self, state, batch, rng, strategy: str):
+        """One eval batch at a given difficulty (`M2SNet_eval.py:34-121`)."""
+        music, motion = batch
+        pairs = build_pairs(
+            rng, jnp.asarray(music), jnp.asarray(motion), strategy,
+            self.sample_length, self.clip_length,
+        )
+        return {k: float(v) for k, v in self._accuracy_impl(state, pairs).items()}

@@ -15,7 +15,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The image's sitecustomize pre-imports jax with JAX_PLATFORMS=axon baked in,
+# so the env vars above may be read too late — force via config as well.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+# Persistent compilation cache: model compiles dominate CPU test time.
+jax.config.update("jax_compilation_cache_dir", "/tmp/conductor_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,135 @@
+"""Stage-1 tests: pair building, M2SNet contrastive training, M2SGAN WGAN-GP."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conductor_tpu.data.pairs import build_pairs
+from conductor_tpu.models import Discriminator1DCNN, Generator
+from conductor_tpu.train import M2SGANTrainer, M2SNetTrainer
+
+
+def _clip_batch(rng, B=2, S=12):
+    k1, k2 = jax.random.split(rng)
+    music = jax.random.uniform(k1, (B, S * 90, 128))
+    motion = jax.random.uniform(k2, (B, S * 30, 13, 2))
+    return music, motion
+
+
+class TestPairBuilder:
+    def test_easy_pairs_are_batch_flips(self, rng):
+        music, motion = _clip_batch(rng)
+        m1, m2, p1, p2 = build_pairs(rng, music, motion, "easy", 12, 4)
+        assert m1.shape == (2, 360, 128) and p1.shape == (2, 120, 13, 2)
+        np.testing.assert_array_equal(np.asarray(m2), np.asarray(m1)[::-1])
+        np.testing.assert_array_equal(np.asarray(p2), np.asarray(p1)[::-1])
+
+    def test_hard_pairs_at_least_10s_apart(self, rng):
+        music, motion = _clip_batch(rng, S=30)
+        for i in range(5):
+            k = jax.random.fold_in(rng, i)
+            m1, m2, p1, p2 = build_pairs(k, music, motion, "hard", 30, 10)
+            assert m1.shape == (2, 900, 128)
+            # windows differ (10s apart guaranteed by construction)
+            assert not np.array_equal(np.asarray(p1), np.asarray(p2))
+
+    def test_super_hard_small_shift(self, rng):
+        music, motion = _clip_batch(rng, S=30)
+        m1, m2, p1, p2 = build_pairs(rng, music, motion, "super_hard", 30, 10)
+        assert p1.shape == p2.shape == (2, 300, 13, 2)
+
+    def test_music_motion_alignment(self, rng):
+        # mel index must be exactly 3x the motion index: embed a marker
+        music, motion = _clip_batch(rng, S=12)
+        marked_music = music.at[:, :, 0].set(jnp.arange(12 * 90)[None, :] / (12 * 90))
+        marked_motion = motion.at[:, :, 0, 0].set(jnp.arange(12 * 30)[None, :] / (12 * 30))
+        m1, _, p1, _ = build_pairs(rng, marked_music, marked_motion, "hard", 12, 4)
+        music_start = float(m1[0, 0, 0]) * 12 * 90
+        motion_start = float(p1[0, 0, 0, 0]) * 12 * 30
+        assert abs(music_start - 3 * motion_start) < 0.5
+
+    def test_clip_too_long_raises(self, rng):
+        music, motion = _clip_batch(rng)
+        with pytest.raises(ValueError):
+            build_pairs(rng, music, motion, "easy", 12, 5)
+
+
+class TestM2SNetTrainer:
+    def test_bce_decreases_on_fixed_batch(self, rng):
+        trainer = M2SNetTrainer(sample_length=12, clip_length=4)
+        state = trainer.init_state(rng)
+        batch = _clip_batch(rng, B=4, S=12)
+        losses = []
+        for i in range(6):
+            state, metrics = trainer.train_step(state, batch, rng, strategy="easy")
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
+    def test_all_strategies_run(self, rng):
+        trainer = M2SNetTrainer(sample_length=30, clip_length=10)
+        state = trainer.init_state(rng)
+        batch = _clip_batch(rng, B=2, S=30)
+        for s in ("easy", "hard", "super_hard"):
+            state, metrics = trainer.train_step(state, batch, rng, strategy=s)
+            assert np.isfinite(float(metrics["loss"]))
+            assert 0.0 <= float(metrics["accuracy"]) <= 1.0
+
+    def test_evaluate(self, rng):
+        trainer = M2SNetTrainer(sample_length=12, clip_length=4)
+        state = trainer.init_state(rng)
+        batch = _clip_batch(rng, B=2, S=12)
+        out = trainer.evaluate(state, batch, rng, "easy")
+        assert set(out) == {"accuracy", "sync_prob", "non_sync_prob"}
+
+
+class TestGANModels:
+    def test_generator_shapes_and_range(self, rng):
+        G = Generator()
+        mel = jax.random.uniform(rng, (2, 6 * 90, 128))
+        noise = jax.random.normal(jax.random.fold_in(rng, 1), (2, 6, 8))
+        variables = G.init(rng, mel, noise)
+        out = G.apply(variables, mel, noise)
+        assert out.shape == (2, 180, 13, 2)
+        assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+    def test_discriminator_scalar(self, rng):
+        D = Discriminator1DCNN()
+        motion = jax.random.uniform(rng, (3, 180, 13, 2))
+        variables = D.init(rng, motion)
+        out = D.apply(variables, motion)
+        assert out.shape == (3, 1)
+
+
+class TestM2SGANTrainer:
+    def test_wgan_step_runs_and_is_finite(self, rng):
+        trainer = M2SGANTrainer(sample_length=6, critic_iters=2)
+        state = trainer.init_state(rng)
+        mel = jax.random.uniform(rng, (2, 6 * 90, 128))
+        real = jax.random.uniform(jax.random.fold_in(rng, 1), (2, 180, 13, 2))
+        state, metrics = trainer.train_step(state, (mel, real), rng)
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), k
+        assert int(state.step) == 1
+
+    def test_critic_learns_separation(self, rng):
+        # a few steps of critic training should increase W-distance estimate
+        trainer = M2SGANTrainer(sample_length=6, critic_iters=3)
+        state = trainer.init_state(rng)
+        mel = jax.random.uniform(rng, (4, 6 * 90, 128))
+        # real data: smooth; the generator's early output will differ
+        t = jnp.arange(180)[None, :, None, None] / 30.0
+        real = 0.5 + 0.2 * jnp.sin(2 * jnp.pi * t) * jnp.ones((4, 1, 13, 2))
+        w = []
+        for i in range(5):
+            state, metrics = trainer.train_step(state, (mel, real), jax.random.fold_in(rng, i))
+            w.append(float(metrics["w_distance"]))
+        assert all(np.isfinite(w))
+
+    def test_generate(self, rng):
+        trainer = M2SGANTrainer(sample_length=6)
+        state = trainer.init_state(rng)
+        mel = jax.random.uniform(rng, (1, 540, 128))
+        out = trainer.generate(state, mel, rng)
+        assert out.shape == (1, 180, 13, 2)

@@ -1,0 +1,195 @@
+"""End-to-end slice: data -> trainer -> loss decreases -> scan sampler output.
+
+Exercises every layer with a tiny config on synthetic data (SURVEY.md §7.3),
+plus the multi-chip SPMD path on the virtual 8-device CPU mesh.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conductor_tpu.config import Config, DenoiserConfig, DiffusionConfig, TrainConfig
+from conductor_tpu.data import BatchIterator, ConductorMotionDataset, make_synthetic_dataset
+from conductor_tpu.parallel import make_mesh, replicate, shard_batch
+from conductor_tpu.train import CheckpointManager, DDPMTrainer
+
+
+def tiny_config(**train_kw) -> Config:
+    return Config(
+        denoiser=DenoiserConfig(
+            num_frames=64, latent_dim=32, ff_size=16, num_layers=2, num_heads=4
+        ),
+        diffusion=DiffusionConfig(steps=8, schedule="cosine"),
+        train=TrainConfig(**{"batch_size": 4, "sample_length": 2, **train_kw}),
+    )
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cm100"))
+    make_synthetic_dataset(root, "train", num_clips=4)
+    make_synthetic_dataset(root, "test", num_clips=2)
+    return root
+
+
+class TestData:
+    def test_sequential_windows(self, synth_root):
+        ds = ConductorMotionDataset(synth_root, "train", sample_length=2, mode="sequential")
+        assert len(ds) == 4 * 30  # 60s / 2s windows x 4 clips
+        mel, motion, m_len = ds[0]
+        assert mel.shape == (180, 128)
+        assert motion.shape == (60, 13, 2)
+        assert int(m_len) == 60
+
+    def test_random_windows_reseed(self, synth_root):
+        ds = ConductorMotionDataset(synth_root, "train", sample_length=2, mode="random")
+        assert len(ds) == 4
+        ds.set_epoch(0)
+        a = ds[0][1]
+        ds.set_epoch(1)
+        b = ds[0][1]
+        ds.set_epoch(0)
+        c = ds[0][1]
+        np.testing.assert_array_equal(a, c)  # deterministic per epoch
+        assert not np.array_equal(a, b)
+
+    def test_batch_iterator(self, synth_root):
+        ds = ConductorMotionDataset(synth_root, "train", sample_length=2, mode="random")
+        it = BatchIterator(ds, batch_size=4, times=3)
+        assert len(it) == 3
+        batches = list(iter(it))
+        assert len(batches) == 3
+        mel, motion, m_lens = batches[0]
+        assert mel.shape == (4, 180, 128)
+        assert motion.shape == (4, 60, 13, 2)
+        assert m_lens.shape == (4,)
+
+    def test_motion_in_unit_interval(self, synth_root):
+        ds = ConductorMotionDataset(synth_root, "train", sample_length=2, mode="sequential")
+        _, motion, _ = ds[0]
+        assert motion.min() >= 0.0 and motion.max() <= 1.0
+
+
+class TestTrainLoop:
+    def test_loss_decreases(self, synth_root):
+        cfg = tiny_config(lr=1e-3)
+        trainer = DDPMTrainer(cfg)
+        rng = jax.random.PRNGKey(0)
+        state = trainer.init_state(rng)
+        ds = ConductorMotionDataset(synth_root, "train", sample_length=2, mode="random")
+        it = BatchIterator(ds, batch_size=4, times=8)
+
+        losses = []
+        for i, batch in enumerate(iter(it)):
+            state, metrics = trainer.train_step(state, batch, rng)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(losses))
+        # x0-prediction from a zero-init output layer starts near E[x0^2];
+        # a few steps should reduce reconstruction loss measurably.
+        assert losses[-1] < losses[0]
+
+    def test_reference_mask_mode(self, synth_root):
+        cfg = tiny_config(replicate_reference_mask=True)
+        trainer = DDPMTrainer(cfg)
+        rng = jax.random.PRNGKey(0)
+        state = trainer.init_state(rng)
+        ds = ConductorMotionDataset(synth_root, "train", sample_length=2, mode="random")
+        batch = next(iter(BatchIterator(ds, batch_size=4)))
+        state, metrics = trainer.train_step(state, batch, rng)
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_loss_aware_sampler(self, synth_root):
+        cfg = tiny_config(timestep_sampler="loss-second-moment")
+        trainer = DDPMTrainer(cfg)
+        rng = jax.random.PRNGKey(0)
+        state = trainer.init_state(rng)
+        assert state.sampler_state is not None
+        ds = ConductorMotionDataset(synth_root, "train", sample_length=2, mode="random")
+        batch = next(iter(BatchIterator(ds, batch_size=4)))
+        state, _ = trainer.train_step(state, batch, rng)
+        assert int(state.sampler_state.loss_counts.sum()) == 4
+
+    def test_generate_shapes_and_respacing(self, synth_root):
+        cfg = tiny_config()
+        trainer = DDPMTrainer(cfg)
+        rng = jax.random.PRNGKey(0)
+        state = trainer.init_state(rng)
+        mel = jnp.zeros((1, 180, 128))
+        out = trainer.generate(state, mel, rng, num_steps=4)
+        assert out.shape == (1, 60, 26)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_generate_guided(self, synth_root):
+        cfg = tiny_config()
+        trainer = DDPMTrainer(cfg)
+        rng = jax.random.PRNGKey(0)
+        state = trainer.init_state(rng)
+        mel = jnp.zeros((1, 180, 128))
+        out = trainer.generate(state, mel, rng, num_steps=4, guidance_scale=2.5)
+        assert out.shape == (1, 60, 26)
+
+    def test_checkpoint_roundtrip(self, synth_root, tmp_path):
+        cfg = tiny_config()
+        trainer = DDPMTrainer(cfg)
+        rng = jax.random.PRNGKey(0)
+        state = trainer.init_state(rng)
+        ds = ConductorMotionDataset(synth_root, "train", sample_length=2, mode="random")
+        batch = next(iter(BatchIterator(ds, batch_size=4)))
+        state, _ = trainer.train_step(state, batch, rng)
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(int(state.step), state, wait=True)
+        template = trainer.init_state(jax.random.PRNGKey(1))
+        restored = mgr.restore(template)
+        assert int(restored.step) == int(state.step)
+        a = jax.tree_util.tree_leaves(state.params)
+        b = jax.tree_util.tree_leaves(restored.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        mgr.close()
+
+
+class TestMultiChip:
+    def test_sharded_train_step_8dev(self, synth_root):
+        assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+        cfg = tiny_config(batch_size=8)
+        trainer = DDPMTrainer(cfg)
+        rng = jax.random.PRNGKey(0)
+        state = trainer.init_state(rng)
+        ds = ConductorMotionDataset(synth_root, "train", sample_length=2, mode="random")
+        batch = next(iter(BatchIterator(ds, batch_size=8, times=2)))
+        mesh = make_mesh(data=8)
+        with mesh:
+            state = replicate(state, mesh)
+            sbatch = shard_batch(batch, mesh)
+            state, metrics = trainer.train_step(state, sbatch, rng)
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_sharded_matches_single_device(self, synth_root):
+        cfg = tiny_config(batch_size=8)
+        trainer = DDPMTrainer(cfg)
+        rng = jax.random.PRNGKey(0)
+        ds = ConductorMotionDataset(synth_root, "train", sample_length=2, mode="random")
+        batch = next(iter(BatchIterator(ds, batch_size=8, times=2)))
+
+        state1 = trainer.init_state(rng)
+        _, m1 = trainer.train_step(state1, batch, rng)
+
+        mesh = make_mesh(data=8)
+        state2 = trainer.init_state(rng)
+        with mesh:
+            state2 = replicate(state2, mesh)
+            sbatch = shard_batch(batch, mesh)
+            _, m2 = trainer.train_step(state2, sbatch, rng)
+        # SPMD sharding must not change the math
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m2["loss"]), rtol=2e-4
+        )
+
+    def test_graft_dryrun(self):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)
