@@ -40,7 +40,7 @@ def main() -> None:
     T30 = cfg.dataset.clip_seconds * cfg.dataset.motion_hz  # 1800
     mel = jax.random.uniform(rng, (B, T90, cfg.dataset.mel_bins))
 
-    generate = jax.jit(lambda st, m, r: trainer.generate(st, m, r))
+    generate = trainer.generate  # jitted + cached internally
 
     # compile
     out = generate(state, mel, rng)

@@ -1,0 +1,57 @@
+"""Evaluation CLI: FGD / Diversity / Beat Consistency / MSE / SE / MPE / SDP.
+
+Rebuild of reference `Diffusion_Stage/tools/eval_new_metrics.py:342-390` and
+the old-metric sweeps (`eval_old_metrics.py`, `eval_new.py`), with batched
+on-device generation (the reference generates one clip at a time).
+
+    python -m conductor_tpu.cli.evaluate --run_dir checkpoints/ConductorMotion100/my_run \
+        --data_root /data/cm100 [--steps 50] [--max_clips 100]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+
+from ..config import Config
+from ..eval import DiffusionEvaluator
+from ..train import CheckpointManager, DDPMTrainer
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--run_dir", required=True)
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--split", default="test")
+    p.add_argument("--steps", type=int, default=None, help="DDIM respacing (default: full ladder)")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--max_clips", type=int, default=None)
+    p.add_argument("--no_beats", action="store_true", help="skip beat-consistency (slow, host-side)")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_argparser().parse_args(argv)
+    cfg = Config.load(os.path.join(args.run_dir, "config.json"))
+    trainer = DDPMTrainer(cfg)
+    rng = jax.random.PRNGKey(args.seed)
+    state = trainer.init_state(rng)
+    state = CheckpointManager(os.path.join(args.run_dir, "ckpt")).restore(state)
+
+    evaluator = DiffusionEvaluator(trainer, batch_size=args.batch_size)
+    result = evaluator.evaluate(
+        state, args.data_root, split=args.split, num_steps=args.steps,
+        max_clips=args.max_clips, rng=rng, compute_beats=not args.no_beats,
+    )
+    report = result.as_dict()
+    print(json.dumps(report, indent=2))
+    with open(os.path.join(args.run_dir, f"eval_{args.split}.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -5,3 +5,5 @@ from .dataset import (  # noqa: F401
     make_synthetic_dataset,
     scan_split,
 )
+from .mel import extract_mel_feature, mel_filterbank, melspectrogram  # noqa: F401
+from .pairs import build_pairs  # noqa: F401

@@ -44,13 +44,17 @@ class DiffusionEvaluator:
     def __init__(self, trainer: DDPMTrainer, batch_size: int = 8):
         self.trainer = trainer
         self.batch_size = batch_size
+        # jitted: eager ST-GCN dispatch is one host round-trip per op —
+        # unusable over remote/tunneled devices.
+        self._latents_fn = jax.jit(
+            lambda fv, motion: self.trainer.feat_model.apply(
+                fv, motion, method=self.trainer.feat_model.features
+            )[-1]
+        )
 
     def _latents(self, state: TrainState, motion: jnp.ndarray) -> np.ndarray:
         """Frozen stage-1 ST-GCN 64-d latents (`eval_new_metrics.py:143-150`)."""
-        feats = self.trainer.feat_model.apply(
-            state.feat_variables, motion, method=self.trainer.feat_model.features
-        )
-        return np.asarray(feats[-1])
+        return np.asarray(self._latents_fn(state.feat_variables, motion))
 
     def evaluate(
         self,

@@ -92,6 +92,7 @@ class DDPMTrainer:
             optax.adam(cfg.train.lr),
         )
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._generate_cache: dict = {}
 
     # ------------------------------------------------------------------ init
 
@@ -267,7 +268,30 @@ class DDPMTrainer:
         """mel (B, T90, 128) -> motion (B, T30, 26).
 
         Replaces `generate_music_motion` (`ddpm_trainer.py:183-201`): encode
-        once, then a single scan over the (optionally respaced) ladder."""
+        once, then a single scan over the (optionally respaced) ladder.  The
+        whole pipeline is jitted (cached per (num_steps, guidance, sampler);
+        XLA re-specializes per mel shape) — eager dispatch would cost one
+        host round-trip per op, catastrophic over remote/tunneled devices."""
+        key = (num_steps, guidance_scale, sampler)
+        if key not in self._generate_cache:
+            self._generate_cache[key] = jax.jit(
+                partial(
+                    self._generate_impl, num_steps=num_steps,
+                    guidance_scale=guidance_scale, sampler=sampler,
+                )
+            )
+        return self._generate_cache[key](state, mel, rng)
+
+    def _generate_impl(
+        self,
+        state: TrainState,
+        mel: jnp.ndarray,
+        rng: jax.Array,
+        *,
+        num_steps: int | None,
+        guidance_scale: float,
+        sampler: str,
+    ) -> jnp.ndarray:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         xf_proj, xf_out = self.model.apply(
             variables, mel, method=self.model.encode_music

@@ -1,0 +1,107 @@
+"""CLI end-to-end: train -> visualize -> evaluate through the command-line
+surface (the reference's tools/train.py + visualization.py + eval scripts)."""
+
+import json
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from conductor_tpu.data import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cm100_cli"))
+    make_synthetic_dataset(root, "train", num_clips=4)
+    make_synthetic_dataset(root, "test", num_clips=2)
+    return root
+
+
+@pytest.fixture(scope="module")
+def run_dir(synth_root, tmp_path_factory):
+    from conductor_tpu.cli.train import main
+
+    ckpts = str(tmp_path_factory.mktemp("ckpts"))
+    main([
+        "--data_root", synth_root, "--name", "tiny", "--checkpoints_dir", ckpts,
+        "--batch_size", "4", "--epochs", "2", "--diffusion_steps", "8",
+        "--schedule", "cosine", "--sample_length", "2",
+        "--latent_dim", "32", "--ff_size", "16", "--num_layers", "2",
+        "--num_heads", "4", "--save_latest", "2",
+    ])
+    return os.path.join(ckpts, "ConductorMotion100", "tiny")
+
+
+class TestTrainCLI:
+    def test_artifacts(self, run_dir):
+        assert os.path.isfile(os.path.join(run_dir, "config.json"))
+        assert os.path.isfile(os.path.join(run_dir, "metrics.jsonl"))
+        with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+            records = [json.loads(l) for l in f]
+        assert len(records) == 2  # 4 clips / bs 4 x 2 epochs
+        assert all(np.isfinite(r["loss"]) for r in records)
+        assert os.path.isdir(os.path.join(run_dir, "ckpt"))
+
+    def test_config_roundtrip(self, run_dir):
+        from conductor_tpu.config import Config
+
+        cfg = Config.load(os.path.join(run_dir, "config.json"))
+        assert cfg.denoiser.latent_dim == 32
+        assert cfg.diffusion.schedule == "cosine"
+
+    def test_resume(self, synth_root, run_dir):
+        from conductor_tpu.cli.train import main
+
+        main([
+            "--data_root", synth_root, "--name", "tiny",
+            "--checkpoints_dir", os.path.dirname(os.path.dirname(run_dir)),
+            "--batch_size", "4", "--epochs", "3", "--diffusion_steps", "8",
+            "--schedule", "cosine", "--sample_length", "2",
+            "--latent_dim", "32", "--ff_size", "16", "--num_layers", "2",
+            "--num_heads", "4", "--continue",
+        ])
+        with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+            records = [json.loads(l) for l in f]
+        assert records[-1]["step"] >= 3  # continued past the first run
+
+
+class TestVisualizeCLI:
+    def test_wav_to_video(self, run_dir, tmp_path):
+        pytest.importorskip("cv2")
+        from conductor_tpu.cli.visualize import main
+
+        sr = 22050
+        t = np.arange(sr * 2) / sr
+        y = (0.4 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+        wav = str(tmp_path / "tone.wav")
+        with wave.open(wav, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(y.tobytes())
+
+        out = str(tmp_path / "viz")
+        main([
+            "--run_dir", run_dir, "--music", wav, "--out_dir", out,
+            "--steps", "4", "--save_npy",
+        ])
+        files = os.listdir(out)
+        assert any(f.endswith(".avi") or f.endswith(".mp4") for f in files)
+        motion = np.load(os.path.join(out, "tone.npy"))
+        assert motion.shape == (60, 13, 2)  # 2 s at 30 Hz
+
+
+class TestEvaluateCLI:
+    def test_metrics_json(self, run_dir, synth_root):
+        from conductor_tpu.cli.evaluate import main
+
+        main([
+            "--run_dir", run_dir, "--data_root", synth_root,
+            "--steps", "4", "--batch_size", "2", "--no_beats",
+        ])
+        with open(os.path.join(run_dir, "eval_test.json")) as f:
+            report = json.load(f)
+        for key in ("fgd", "diversity", "mse", "sync_error", "mpe", "sdp"):
+            assert key in report and np.isfinite(report[key]), key
