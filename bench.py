@@ -26,10 +26,19 @@ NORTH_STAR_FRAMES_PER_SEC_PER_CHIP = 225.0
 
 
 def main() -> None:
+    import dataclasses
+
     from conductor_tpu.config import Config
     from conductor_tpu.train.ddpm_trainer import DDPMTrainer
 
     cfg = Config()
+    # Inference-optimized serving config: fused Pallas linear attention +
+    # bfloat16 activations (params stay f32; schedule math stays f32).
+    cfg = cfg.replace(
+        denoiser=dataclasses.replace(
+            cfg.denoiser, attention_impl="pallas", compute_dtype="bfloat16"
+        )
+    )
     trainer = DDPMTrainer(cfg)
     rng = jax.random.PRNGKey(0)
     state = trainer.init_state(rng)

@@ -60,6 +60,10 @@ class DenoiserConfig:
     music_latent_dim: int = 64      # MusicEncoder output width
     music_width: int = 512          # xf_proj / xf_out width after `linear` (`transformer.py:404`)
     efficient_attention: bool = True  # linear attention; False = quadratic (`--no_eff`)
+    attention_impl: str = "xla"       # "xla" | "pallas" (fused TPU kernel, ops/pallas_attention.py)
+    compute_dtype: str = "float32"    # "float32" | "bfloat16" — activation/matmul dtype
+                                      # (params stay float32; MXU is 2x at bf16)
+    adaln_mode: str = "sliced"        # "sliced" | "batched" AdaLN application (perf knob)
 
     @property
     def time_embed_dim(self) -> int:

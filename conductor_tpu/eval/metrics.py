@@ -223,3 +223,106 @@ def wasserstein_1d(real: np.ndarray, fake: np.ndarray) -> float:
     from scipy.stats import wasserstein_distance
 
     return float(wasserstein_distance(real.ravel(), fake.ravel()))
+
+
+# ----------------------------------------- retrieval metrics (T2M protocol)
+# The MotionDiffuse evaluation protocol the reference inherits for its t2m/kit
+# datasets (`Diffusion_Stage/utils/metrics.py:5-145`, consumed by
+# `tools/evaluation.py:33-238`).  Deterministic variants: sampling takes an
+# explicit seed instead of mutating global numpy RNG state.
+
+def euclidean_distance_matrix(matrix1: np.ndarray, matrix2: np.ndarray) -> np.ndarray:
+    """Pairwise L2 distances, (N1, D) x (N2, D) -> (N1, N2)
+    (`utils/metrics.py:5-19`)."""
+    d1 = -2 * matrix1 @ matrix2.T
+    d2 = np.sum(matrix1**2, axis=1, keepdims=True)
+    d3 = np.sum(matrix2**2, axis=1)
+    return np.sqrt(np.maximum(d1 + d2 + d3, 0.0))
+
+
+def calculate_top_k(argsorted: np.ndarray, top_k: int) -> np.ndarray:
+    """(N, N) argsorted index matrix -> (N, top_k) cumulative hit matrix:
+    column k is True if the ground-truth index appears in the first k+1
+    retrievals (`utils/metrics.py:21-33`)."""
+    size = argsorted.shape[0]
+    gt = np.arange(size)[:, None]
+    hits = argsorted[:, :top_k] == gt
+    return np.cumsum(hits, axis=1).astype(bool)
+
+
+def calculate_r_precision(
+    embedding1: np.ndarray, embedding2: np.ndarray, top_k: int, sum_all: bool = False
+) -> np.ndarray:
+    """R-precision: retrieve embedding2 rows by distance from embedding1 rows;
+    the matched (diagonal) row should rank in the top k
+    (`utils/metrics.py:36-43`)."""
+    dist = euclidean_distance_matrix(embedding1, embedding2)
+    top_k_mat = calculate_top_k(np.argsort(dist, axis=1), top_k)
+    return top_k_mat.sum(axis=0) if sum_all else top_k_mat
+
+
+def calculate_matching_score(
+    embedding1: np.ndarray, embedding2: np.ndarray, sum_all: bool = False
+) -> np.ndarray:
+    """Row-wise L2 distance between co-embeddings (`utils/metrics.py:46-56`)."""
+    dist = np.linalg.norm(embedding1 - embedding2, axis=1)
+    return dist.sum(axis=0) if sum_all else dist
+
+
+def calculate_activation_statistics(
+    activations: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(N, D) latents -> (mean, covariance) for Fréchet metrics
+    (`utils/metrics.py:59-69`)."""
+    return np.mean(activations, axis=0), np.cov(activations, rowvar=False)
+
+
+def calculate_diversity(
+    activation: np.ndarray, diversity_times: int, seed: int = 0
+) -> float:
+    """Mean L2 between two random sample subsets (`utils/metrics.py:72-81`)."""
+    assert activation.ndim == 2 and activation.shape[0] > diversity_times
+    rng = np.random.default_rng(seed)
+    first = rng.choice(activation.shape[0], diversity_times, replace=False)
+    second = rng.choice(activation.shape[0], diversity_times, replace=False)
+    return float(np.linalg.norm(activation[first] - activation[second], axis=1).mean())
+
+
+def calculate_multimodality(
+    activation: np.ndarray, multimodality_times: int, seed: int = 0
+) -> float:
+    """Mean L2 between repeated generations of the same condition:
+    (N, R, D) latents, R generations per condition (`utils/metrics.py:84-92`)."""
+    assert activation.ndim == 3 and activation.shape[1] > multimodality_times
+    rng = np.random.default_rng(seed)
+    first = rng.choice(activation.shape[1], multimodality_times, replace=False)
+    second = rng.choice(activation.shape[1], multimodality_times, replace=False)
+    return float(
+        np.linalg.norm(activation[:, first] - activation[:, second], axis=2).mean()
+    )
+
+
+def calculate_frechet_distance(
+    mu1: np.ndarray,
+    sigma1: np.ndarray,
+    mu2: np.ndarray,
+    sigma2: np.ndarray,
+    eps: float = 1e-6,
+) -> float:
+    """Fréchet distance from precomputed statistics (Sutherland-stable sqrtm,
+    `utils/metrics.py:95-145`); `frechet_distance` above is the from-samples
+    convenience wrapper."""
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            raise ValueError(
+                f"Imaginary component {np.max(np.abs(covmean.imag))}"
+            )
+        covmean = covmean.real
+    return float(
+        diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean)
+    )

@@ -33,7 +33,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops import linear_attention, qk_softmax, quadratic_self_attention
+from ..ops import quadratic_self_attention, temporal_linear_attention
 from .music_encoder import MusicEncoder
 
 
@@ -58,16 +58,23 @@ def generate_src_mask(T: int, length: jnp.ndarray) -> jnp.ndarray:
 class StylizationBlock(nn.Module):
     """AdaLN scale/shift from the per-frame conditioning embedding
     (`transformer.py:53-81`); output path is zero-initialized so every
-    sub-layer starts as identity."""
+    sub-layer starts as identity.
+
+    TPU restructuring: the emb -> (scale, shift) projection is NOT here — all
+    ``num_layers * 3`` of those projections are batched into ONE wide matmul
+    per forward at the transformer top (`MotionTransformer.denoise`), since
+    they share the same input.  24 separate (T, 512)x(512, 256) matmuls are
+    launch-overhead-bound on the MXU; one (T, 512)x(512, 6144) is not.  This
+    block receives its ``mod`` slice (B, T, 2*latent) ready-made.
+    """
 
     latent_dim: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, h: jnp.ndarray, emb: jnp.ndarray, train: bool) -> jnp.ndarray:
-        e = nn.Dense(2 * self.latent_dim, dtype=self.dtype)(nn.silu(emb))
-        scale, shift = jnp.split(e, 2, axis=-1)
+    def __call__(self, h: jnp.ndarray, mod: jnp.ndarray, train: bool) -> jnp.ndarray:
+        scale, shift = jnp.split(mod, 2, axis=-1)
         h = nn.LayerNorm(dtype=self.dtype)(h) * (1 + scale) + shift
         h = nn.silu(h)
         if self.dropout > 0:
@@ -84,45 +91,69 @@ class LinearSelfAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x, emb, src_mask, train: bool):
+    def __call__(self, x, mod, src_mask, train: bool):
         xn = nn.LayerNorm(dtype=self.dtype)(x)
         q = nn.Dense(self.latent_dim, dtype=self.dtype)(xn)
         k = nn.Dense(self.latent_dim, dtype=self.dtype)(xn)
-        v = nn.Dense(self.latent_dim, dtype=self.dtype)(xn) * src_mask
-        q, k = qk_softmax(q, k, self.num_heads, src_mask)
-        B, T, _ = x.shape
-        H = self.num_heads
-        y = linear_attention(q, k, v.reshape(B, T, H, -1))
+        v = nn.Dense(self.latent_dim, dtype=self.dtype)(xn)
+        y = temporal_linear_attention(
+            q, k, v, self.num_heads, src_mask, impl=self.attention_impl
+        )
         return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype)(
-            y, emb, train
+            y, mod, train
         )
 
 
 class LinearCrossAttention(nn.Module):
     """Efficient cross-attention over music tokens (`transformer.py:125-158`).
-    No key mask — the reference applies none on the conditioning stream."""
+    No key mask — the reference applies none on the conditioning stream.
+
+    TPU restructuring: the key/value path depends only on the music tokens,
+    which are constant across all diffusion timesteps — so `kv_state` computes
+    the time-softmaxed K^T V contraction (B, H, Dh, Dh) ONCE per clip, and the
+    per-step `__call__` is just the query path against that tiny state.  This
+    removes two (T, 512)x(512, 128) matmuls + a LayerNorm + the KV contraction
+    from every one of the 1000 sampler steps.
+    """
 
     latent_dim: int
     num_heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "xla"
 
-    @nn.compact
-    def __call__(self, x, xf, emb, train: bool):
-        xn = nn.LayerNorm(dtype=self.dtype)(x)
-        fn = nn.LayerNorm(dtype=self.dtype)(xf)
-        q = nn.Dense(self.latent_dim, dtype=self.dtype)(xn)
-        k = nn.Dense(self.latent_dim, dtype=self.dtype)(fn)
-        v = nn.Dense(self.latent_dim, dtype=self.dtype)(fn)
-        q, k = qk_softmax(q, k, self.num_heads, None)
-        B, N, _ = xf.shape
-        H = self.num_heads
-        y = linear_attention(q, k, v.reshape(B, N, H, -1))
-        return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype)(
-            y, emb, train
+    def setup(self):
+        self.norm_x = nn.LayerNorm(dtype=self.dtype)
+        self.norm_xf = nn.LayerNorm(dtype=self.dtype)
+        self.query = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.key = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.value = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.styl = StylizationBlock(self.latent_dim, self.dropout, self.dtype)
+
+    def kv_state(self, xf: jnp.ndarray) -> jnp.ndarray:
+        """Music tokens (B, N, W) -> step-invariant KV state (B, H, Dh, Dh)."""
+        fn = self.norm_xf(xf)
+        k = self.key(fn)
+        v = self.value(fn)
+        b, n, d = k.shape
+        h = self.num_heads
+        kh = jax.nn.softmax(
+            k.reshape(b, n, h, d // h).astype(jnp.float32), axis=1
         )
+        vh = v.reshape(b, n, h, d // h).astype(jnp.float32)
+        return jnp.einsum("bnhd,bnhl->bhdl", kh, vh).astype(self.dtype)
+
+    def __call__(self, x, kv, mod, train: bool):
+        xn = self.norm_x(x)
+        q = self.query(xn)
+        b, t, d = q.shape
+        h = self.num_heads
+        qh = jax.nn.softmax(q.reshape(b, t, h, d // h), axis=-1)
+        y = jnp.einsum("bnhd,bhdl->bnhl", qh, kv).reshape(b, t, d)
+        return x + self.styl(y, mod, train)
 
 
 class QuadraticSelfAttention(nn.Module):
@@ -134,36 +165,51 @@ class QuadraticSelfAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb, src_mask, train: bool):
+    def __call__(self, x, mod, src_mask, train: bool):
         xn = nn.LayerNorm(dtype=self.dtype)(x)
         q = nn.Dense(self.latent_dim, dtype=self.dtype)(xn)
         k = nn.Dense(self.latent_dim, dtype=self.dtype)(xn)
         v = nn.Dense(self.latent_dim, dtype=self.dtype)(xn)
         y = quadratic_self_attention(q, k, v, self.num_heads, src_mask)
         return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype)(
-            y, emb, train
+            y, mod, train
         )
 
 
 class QuadraticCrossAttention(nn.Module):
-    """`no_eff` O(T·N) cross-attention (`transformer.py:231-264`)."""
+    """`no_eff` O(T·N) cross-attention (`transformer.py:231-264`).  The K/V
+    projections of the (step-invariant) music tokens are hoisted into
+    `kv_state`, like the linear variant."""
 
     latent_dim: int
     num_heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, xf, emb, train: bool):
-        xn = nn.LayerNorm(dtype=self.dtype)(x)
-        fn = nn.LayerNorm(dtype=self.dtype)(xf)
-        q = nn.Dense(self.latent_dim, dtype=self.dtype)(xn)
-        k = nn.Dense(self.latent_dim, dtype=self.dtype)(fn)
-        v = nn.Dense(self.latent_dim, dtype=self.dtype)(fn)
-        y = quadratic_self_attention(q, k, v, self.num_heads, None)
-        return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype)(
-            y, emb, train
-        )
+    def setup(self):
+        self.norm_x = nn.LayerNorm(dtype=self.dtype)
+        self.norm_xf = nn.LayerNorm(dtype=self.dtype)
+        self.query = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.key = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.value = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.styl = StylizationBlock(self.latent_dim, self.dropout, self.dtype)
+
+    def kv_state(self, xf: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        fn = self.norm_xf(xf)
+        return self.key(fn), self.value(fn)
+
+    def __call__(self, x, kv, mod, train: bool):
+        k, v = kv
+        q = self.query(self.norm_x(x))
+        b, t, d = q.shape
+        h = self.num_heads
+        qh = q.reshape(b, t, h, d // h)
+        kh = k.reshape(b, -1, h, d // h)
+        vh = v.reshape(b, -1, h, d // h)
+        scores = jnp.einsum("bnhd,bmhd->bnmh", qh, kh) / jnp.sqrt(d / h)
+        weights = jax.nn.softmax(scores, axis=2)
+        y = jnp.einsum("bnmh,bmhd->bnhd", weights, vh).reshape(b, t, d)
+        return x + self.styl(y, mod, train)
 
 
 class FFN(nn.Module):
@@ -175,7 +221,7 @@ class FFN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb, train: bool):
+    def __call__(self, x, mod, train: bool):
         y = nn.Dense(self.ffn_dim, dtype=self.dtype)(x)
         y = nn.gelu(y)
         if self.dropout > 0:
@@ -184,12 +230,17 @@ class FFN(nn.Module):
             self.latent_dim, kernel_init=nn.initializers.zeros, dtype=self.dtype
         )(y)
         return x + StylizationBlock(self.latent_dim, self.dropout, self.dtype)(
-            y, emb, train
+            y, mod, train
         )
 
 
 class DecoderLayer(nn.Module):
-    """self-attn -> cross-attn -> FFN (`transformer.py:175-196`)."""
+    """self-attn -> cross-attn -> FFN (`transformer.py:175-196`).
+
+    ``mods`` carries the three pre-projected AdaLN (scale, shift) slices for
+    this layer, shape (B, T, 3, 2*latent); ``cross`` is the step-invariant
+    cross-attention state from :meth:`cross_state`.
+    """
 
     latent_dim: int
     num_heads: int
@@ -197,22 +248,32 @@ class DecoderLayer(nn.Module):
     dropout: float = 0.0
     efficient: bool = True
     dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "xla"
 
-    @nn.compact
-    def __call__(self, x, xf, emb, src_mask, train: bool):
+    def setup(self):
         kw = dict(
             latent_dim=self.latent_dim, num_heads=self.num_heads,
             dropout=self.dropout, dtype=self.dtype,
         )
         if self.efficient:
-            x = LinearSelfAttention(**kw)(x, emb, src_mask, train)
-            x = LinearCrossAttention(**kw)(x, xf, emb, train)
+            self.self_attn = LinearSelfAttention(
+                **kw, attention_impl=self.attention_impl
+            )
+            self.cross_attn = LinearCrossAttention(
+                **kw, attention_impl=self.attention_impl
+            )
         else:
-            x = QuadraticSelfAttention(**kw)(x, emb, src_mask, train)
-            x = QuadraticCrossAttention(**kw)(x, xf, emb, train)
-        return FFN(self.latent_dim, self.ffn_dim, self.dropout, self.dtype)(
-            x, emb, train
-        )
+            self.self_attn = QuadraticSelfAttention(**kw)
+            self.cross_attn = QuadraticCrossAttention(**kw)
+        self.ffn = FFN(self.latent_dim, self.ffn_dim, self.dropout, self.dtype)
+
+    def cross_state(self, xf: jnp.ndarray):
+        return self.cross_attn.kv_state(xf)
+
+    def __call__(self, x, cross, mods, src_mask, train: bool):
+        x = self.self_attn(x, mods[:, :, 0], src_mask, train)
+        x = self.cross_attn(x, cross, mods[:, :, 1], train)
+        return self.ffn(x, mods[:, :, 2], train)
 
 
 class MotionTransformer(nn.Module):
@@ -234,6 +295,8 @@ class MotionTransformer(nn.Module):
     music_width: int = 512
     efficient: bool = True
     dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "xla"  # "xla" | "pallas" (fused TPU kernel)
+    adaln_mode: str = "sliced"   # "sliced" | "batched" — see setup()
 
     def setup(self):
         self.music_encoder = MusicEncoder(out_dim=self.music_latent_dim, dtype=self.dtype)
@@ -252,6 +315,23 @@ class MotionTransformer(nn.Module):
         time_embed_dim = self.latent_dim * 4
         self.time_embed_1 = nn.Dense(time_embed_dim, dtype=self.dtype)
         self.time_embed_2 = nn.Dense(time_embed_dim, dtype=self.dtype)
+        # All num_layers*3 AdaLN emb->(scale, shift) projections share ONE
+        # weight (see StylizationBlock docstring).  Same init distribution as
+        # the reference's per-block Linears (fan_in is the shared emb width
+        # either way).  `adaln_mode` picks the application strategy:
+        # "batched" = one wide matmul (best MXU utilization, materializes a
+        # (B, T, L*6*latent) tensor); "sliced" = per-layer slice matmuls that
+        # XLA fuses into each block's consumers (less HBM traffic).
+        self.adaln_kernel = self.param(
+            "adaln_kernel",
+            nn.initializers.lecun_normal(),
+            (time_embed_dim, self.num_layers * 3 * 2 * self.latent_dim),
+        )
+        self.adaln_bias = self.param(
+            "adaln_bias",
+            nn.initializers.zeros,
+            (self.num_layers * 3 * 2 * self.latent_dim,),
+        )
         self.blocks = [
             DecoderLayer(
                 latent_dim=self.latent_dim,
@@ -260,6 +340,7 @@ class MotionTransformer(nn.Module):
                 dropout=self.dropout,
                 efficient=self.efficient,
                 dtype=self.dtype,
+                attention_impl=self.attention_impl,
             )
             for _ in range(self.num_layers)
         ]
@@ -291,11 +372,69 @@ class MotionTransformer(nn.Module):
         xf_proj, xf_out = self.encode_music(mel)
         return self(x, t, xf_proj, xf_out)
 
+    def _adaln_mods(self, emb: jnp.ndarray):
+        """Returns ``get_mod(i) -> (B, T, 3, 2*latent)``, the i-th layer's
+        AdaLN (scale, shift) triple, from the shared projection weight."""
+        B, T = emb.shape[0], emb.shape[1]
+        emb_act = nn.silu(emb)
+        w = self.adaln_kernel.astype(self.dtype)
+        bias = self.adaln_bias.astype(self.dtype)
+        span = 3 * 2 * self.latent_dim
+        if self.adaln_mode == "batched":
+            mods = (emb_act @ w + bias).reshape(
+                B, T, self.num_layers, 3, 2 * self.latent_dim
+            )
+            return lambda i: mods[:, :, i]
+        return lambda i: (
+            emb_act @ w[:, i * span : (i + 1) * span]
+            + bias[i * span : (i + 1) * span]
+        ).reshape(B, T, 3, 2 * self.latent_dim)
+
+    def precompute_cond(self, xf_proj: jnp.ndarray, xf_out: jnp.ndarray):
+        """Everything about the conditioning that is constant across diffusion
+        timesteps, computed once per clip: the music projection added to the
+        time embedding, and each layer's cross-attention KV state.  The
+        sampler scans :meth:`denoise` over this — the reference instead
+        redoes all of it inside each of its 1000 per-step model calls."""
+        xf_p = self.music_linear(xf_proj)
+        xf_o = self.music_linear(xf_out)
+        cross = tuple(blk.cross_state(xf_o) for blk in self.blocks)
+        return {"emb_base": xf_p, "cross": cross}
+
     def encode_null(self, batch: int, frames: int):
         """The null condition matching training-time dropout: zeroed encoder
         tokens pushed through `proj` (whose bias is nonzero) — for CFG."""
         x = jnp.zeros((batch, frames, self.music_latent_dim), dtype=self.dtype)
         return self.proj(x), x
+
+    def denoise(
+        self,
+        x: jnp.ndarray,
+        timesteps: jnp.ndarray,
+        cond,
+        src_mask: jnp.ndarray | None = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        """Per-step denoiser body — the sampler's scan target.  ``cond`` comes
+        from :meth:`precompute_cond`."""
+        B, T = x.shape[0], x.shape[1]
+        if x.ndim == 4:  # (B, T, J, 2) -> (B, T, 26)  (`transformer.py:484-485`)
+            x = x.reshape(B, T, -1)
+        if src_mask is None:
+            src_mask = jnp.ones((B, T, 1), dtype=x.dtype)
+
+        temb = timestep_embedding(timesteps, self.latent_dim)
+        temb = self.time_embed_2(nn.silu(self.time_embed_1(temb)))
+        emb = temb[:, None, :] + cond["emb_base"]  # per-frame cond (`:482`)
+
+        get_mod = self._adaln_mods(emb)
+
+        h = self.joint_embed(x) + self.sequence_embedding[None, :T, :].astype(
+            self.dtype
+        )
+        for i, blk in enumerate(self.blocks):
+            h = blk(h, cond["cross"][i], get_mod(i), src_mask, train)
+        return self.out(h).astype(jnp.float32)
 
     def __call__(
         self,
@@ -306,52 +445,34 @@ class MotionTransformer(nn.Module):
         src_mask: jnp.ndarray | None = None,
         train: bool = False,
     ) -> jnp.ndarray:
-        B, T = x.shape[0], x.shape[1]
-        if x.ndim == 4:  # (B, T, J, 2) -> (B, T, 26)  (`transformer.py:484-485`)
-            x = x.reshape(B, T, -1)
-        if src_mask is None:
-            src_mask = jnp.ones((B, T, 1), dtype=x.dtype)
-
-        xf_proj = self.music_linear(xf_proj)  # (B, T, 512)  (`:479-480`)
-        xf_out = self.music_linear(xf_out)
-
-        temb = timestep_embedding(timesteps, self.latent_dim)
-        temb = self.time_embed_2(nn.silu(self.time_embed_1(temb)))
-        emb = temb[:, None, :] + xf_proj  # per-frame conditioning (`:482`)
-
-        h = self.joint_embed(x) + self.sequence_embedding[None, :T, :]
-        for blk in self.blocks:
-            h = blk(h, xf_out, emb, src_mask, train)
-        return self.out(h)
+        cond = self.precompute_cond(xf_proj, xf_out)
+        return self.denoise(x, timesteps, cond, src_mask, train)
 
 
 def guided_denoiser(
-    apply_fn: Callable,
-    params,
-    xf_proj: jnp.ndarray,
-    xf_out: jnp.ndarray,
+    denoise_fn: Callable,
+    cond,
     src_mask: jnp.ndarray,
     guidance_scale: float = 1.0,
-    null_cond: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    null_cond=None,
 ):
     """Build a `model_fn(x, t)` closure for the samplers, optionally with
-    classifier-free guidance.  ``null_cond`` should come from
-    `MotionTransformer.encode_null` (zero tokens through `proj`), matching the
-    training-time condition-dropout null."""
+    classifier-free guidance.  ``denoise_fn(x, t, cond, src_mask)`` wraps
+    `MotionTransformer.denoise`; ``cond`` / ``null_cond`` come from
+    `precompute_cond` (the null from `encode_null` tokens, matching the
+    training-time condition-dropout null)."""
 
     def cond_fn(x, t):
-        return apply_fn(params, x, t, xf_proj, xf_out, src_mask)
+        return denoise_fn(x, t, cond, src_mask)
 
     if guidance_scale == 1.0:
         return cond_fn
 
-    if null_cond is None:
-        null_cond = (jnp.zeros_like(xf_proj), jnp.zeros_like(xf_out))
-    xf_proj_null, xf_out_null = null_cond
+    assert null_cond is not None, "CFG needs a precomputed null condition"
 
     def guided_fn(x, t):
-        c = apply_fn(params, x, t, xf_proj, xf_out, src_mask)
-        u = apply_fn(params, x, t, xf_proj_null, xf_out_null, src_mask)
+        c = denoise_fn(x, t, cond, src_mask)
+        u = denoise_fn(x, t, null_cond, src_mask)
         return u + guidance_scale * (c - u)
 
     return guided_fn

@@ -38,7 +38,7 @@ def qk_softmax(
     if key_mask is not None:
         k = k + (1.0 - key_mask) * -1000000.0
     q = jax.nn.softmax(q.reshape(B, T, H, D // H), axis=-1)
-    k = jax.nn.softmax(k.reshape(B, T, H, D // H), axis=1)
+    k = jax.nn.softmax(k.reshape(B, -1, H, D // H), axis=1)
     return q, k
 
 
@@ -54,6 +54,36 @@ def linear_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndar
     kv = jnp.einsum("bnhd,bnhl->bhdl", k, v)  # (B, H, D, D) — one pass over time
     y = jnp.einsum("bnhd,bhdl->bnhl", q, kv)
     return y.reshape(B, Tq, H * D)
+
+
+def temporal_linear_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    key_mask: jnp.ndarray | None,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """Single entry point for linear attention used by the denoiser layers.
+
+    q, k, v: (B, T, D) pre-softmax projections.  ``impl``:
+
+    - ``"xla"``    — the einsum formulation below (always available);
+    - ``"pallas"`` — the fused TPU kernel in `ops.pallas_attention`
+      (interpret-mode on CPU, so tests/dryrun stay runnable everywhere).
+
+    Both apply the reference's additive ``-1e6`` key mask and multiplicative
+    value mask (`transformer.py:104-107`).
+    """
+    if impl == "pallas":
+        from .pallas_attention import fused_linear_attention
+
+        return fused_linear_attention(q, k, v, num_heads, key_mask)
+    if key_mask is not None:
+        v = v * key_mask
+    b, _, d = q.shape
+    qs, ks = qk_softmax(q, k, num_heads, key_mask)
+    return linear_attention(qs, ks, v.reshape(b, -1, num_heads, d // num_heads))
 
 
 def quadratic_self_attention(

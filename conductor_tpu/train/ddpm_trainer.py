@@ -73,6 +73,9 @@ def make_denoiser(cfg: Config) -> MotionTransformer:
         music_latent_dim=d.music_latent_dim,
         music_width=d.music_width,
         efficient=d.efficient_attention,
+        attention_impl=d.attention_impl,
+        adaln_mode=d.adaln_mode,
+        dtype=jnp.dtype(d.compute_dtype),
     )
 
 
@@ -308,19 +311,25 @@ class DDPMTrainer:
         else:
             sched = self.sched
 
+        # Step-invariant conditioning (music projections + per-layer cross-attn
+        # KV) hoisted out of the 1000-step scan — see `precompute_cond`.
+        cond = self.model.apply(
+            variables, xf_proj, xf_out, method=self.model.precompute_cond
+        )
         null_cond = None
         if guidance_scale != 1.0:
-            null_cond = self.model.apply(
+            xf_proj_n, xf_out_n = self.model.apply(
                 variables, B, T, method=self.model.encode_null
             )
-
-        def apply_fn(params, x, tt, xp, xo, sm):
-            return self.model.apply(
-                {"params": params, "batch_stats": state.batch_stats}, x, tt, xp, xo, sm
+            null_cond = self.model.apply(
+                variables, xf_proj_n, xf_out_n, method=self.model.precompute_cond
             )
 
+        def denoise_fn(x, tt, c, sm):
+            return self.model.apply(variables, x, tt, c, sm, method=self.model.denoise)
+
         model_fn = guided_denoiser(
-            apply_fn, state.params, xf_proj, xf_out, src_mask,
+            denoise_fn, cond, src_mask,
             guidance_scale=guidance_scale, null_cond=null_cond,
         )
         loop = ddim_sample_loop if sampler == "ddim" else p_sample_loop

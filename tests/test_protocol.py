@@ -1,0 +1,97 @@
+"""D13 replicated evaluation protocol (R-precision/Matching/FID/Div/MM + CI)."""
+
+import numpy as np
+
+from conductor_tpu.eval.protocol import (
+    EvaluationProtocol,
+    M2SNetCoEmbedding,
+    ProtocolConfig,
+    get_metric_statistics,
+)
+
+
+class IdentityWrapper:
+    """cond and motion embed to their row means -> perfect matching when the
+    generator copies the paired motion."""
+
+    def embed(self, cond, motion):
+        return cond.reshape(cond.shape[0], -1), motion.reshape(motion.shape[0], -1)
+
+    def embed_motion(self, motion):
+        return motion.reshape(motion.shape[0], -1)
+
+
+def _batches_fn():
+    rs = np.random.RandomState(0)
+    data = []
+    for _ in range(3):
+        motion = rs.rand(8, 6).astype(np.float64)
+        data.append((motion.copy(), motion))  # cond == motion embedding space
+    return lambda: iter(data)
+
+
+def test_perfect_generator_protocol():
+    batches = _batches_fn()
+    stored = [b for b in batches()]
+    lookup = {id(c): m for c, m in stored}
+
+    protocol = EvaluationProtocol(
+        IdentityWrapper(), ProtocolConfig(replication_times=2, diversity_times=10)
+    )
+    result = protocol.run(
+        lambda: iter(stored),
+        {"perfect": lambda cond: cond.copy(), "noise": lambda cond: cond + 10.0},
+    )
+    summary = result.summary()
+
+    # perfect generator: matching score 0, R-precision top-1 == 1, FID ~ 0
+    mean, conf = summary["MatchingScore"]["perfect"]
+    assert abs(mean) < 1e-6 and abs(conf) < 1e-6
+    rp_mean, _ = summary["R_precision"]["perfect"]
+    assert rp_mean[0] == 1.0
+    fid_mean, _ = summary["FID"]["perfect"]
+    assert abs(fid_mean) < 1e-6
+
+    # noise generator: strictly worse matching, nonzero FID
+    assert summary["MatchingScore"]["noise"][0] > 1.0
+    assert summary["FID"]["noise"][0] > 1.0
+
+    report = result.format_report()
+    assert "R_precision Summary" in report and "[perfect]" in report
+
+
+def test_multimodality_path():
+    rs = np.random.RandomState(1)
+    stored = [(rs.rand(6, 4), rs.rand(6, 4))]
+    protocol = EvaluationProtocol(
+        IdentityWrapper(),
+        ProtocolConfig(replication_times=1, diversity_times=3, mm_num_times=4),
+    )
+
+    def mm_generate(cond):
+        return np.stack([cond + rs.rand(*cond.shape) * 0.1 for _ in range(6)])
+
+    result = protocol.run(
+        lambda: iter(stored),
+        {"m": lambda c: c},
+        mm_generate=mm_generate,
+        mm_conds=[stored[0][0][i] for i in range(3)],
+    )
+    mm_mean, _ = result.summary()["MultiModality"]["model"]
+    assert mm_mean > 0
+
+
+def test_metric_statistics():
+    mean, conf = get_metric_statistics(np.array([1.0, 2.0, 3.0]))
+    assert mean == 2.0
+    assert conf == np.float64(1.96 * np.std([1.0, 2.0, 3.0]) / np.sqrt(3))
+
+
+def test_m2snet_co_embedding_pools_time():
+    w = M2SNetCoEmbedding(
+        music_fn=lambda mel: np.ones((2, 10, 64)) * mel.mean(),
+        motion_fn=lambda m: np.ones((2, 10, 64)) * 2.0,
+    )
+    c, m = w.embed(np.ones((2, 30, 128)), np.zeros((2, 10, 13, 2)))
+    assert c.shape == (2, 64) and m.shape == (2, 64)
+    assert np.allclose(m, 2.0)
