@@ -6,3 +6,4 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from .context import cp_linear_attention  # noqa: F401

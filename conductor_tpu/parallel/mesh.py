@@ -58,10 +58,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Place every array of a batch pytree with its batch dim over 'data'."""
-    sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+def shard_batch(batch: Any, mesh: Mesh, seq_dims: dict[int, int] | None = None) -> Any:
+    """Place every array of a batch pytree with its batch dim over 'data'.
+
+    ``seq_dims`` optionally maps "array rank -> time axis" to additionally
+    shard that axis over 'seq' (context parallelism): e.g. ``{3: 1, 4: 1}``
+    shards mel (B, T90, M) and motion (B, T30, J, C) over time while leaving
+    rank-1 arrays like m_lens data-sharded only.
+    """
+    seq_dims = seq_dims or {}
+
+    def place(x):
+        axis = seq_dims.get(np.ndim(x))
+        sh = batch_sharding(mesh, seq_axis=axis)
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(place, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
