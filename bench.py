@@ -32,11 +32,15 @@ def main() -> None:
     from conductor_tpu.train.ddpm_trainer import DDPMTrainer
 
     cfg = Config()
-    # Inference-optimized serving config: fused Pallas linear attention +
-    # bfloat16 activations (params stay f32; schedule math stays f32).
+    # Inference-optimized serving config: whole-layer fused Pallas kernels
+    # (ops/pallas_layer.py) with bfloat16 MXU operands / f32 accumulation;
+    # params and schedule math stay f32.
     cfg = cfg.replace(
         denoiser=dataclasses.replace(
-            cfg.denoiser, attention_impl="pallas", compute_dtype="bfloat16"
+            cfg.denoiser,
+            attention_impl="pallas",
+            compute_dtype="bfloat16",
+            layer_impl="pallas_fused",
         )
     )
     trainer = DDPMTrainer(cfg)

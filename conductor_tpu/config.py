@@ -64,6 +64,9 @@ class DenoiserConfig:
     compute_dtype: str = "float32"    # "float32" | "bfloat16" — activation/matmul dtype
                                       # (params stay float32; MXU is 2x at bf16)
     adaln_mode: str = "sliced"        # "sliced" | "batched" AdaLN application (perf knob)
+    layer_impl: str = "flax"          # "flax" | "pallas_fused" — sampling-path layer impl
+                                      # (fused whole-layer kernel, ops/pallas_layer.py;
+                                      # inference-only, training always uses flax)
 
     @property
     def time_embed_dim(self) -> int:

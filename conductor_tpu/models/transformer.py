@@ -401,6 +401,13 @@ class MotionTransformer(nn.Module):
         cross = tuple(blk.cross_state(xf_o) for blk in self.blocks)
         return {"emb_base": xf_p, "cross": cross}
 
+    def time_embed_table(self, num_timesteps: int) -> jnp.ndarray:
+        """All (num_timesteps, time_embed_dim) time embeddings in one batched
+        MLP — the sampler gathers rows by t instead of re-running the MLP in
+        every scan step."""
+        temb = timestep_embedding(jnp.arange(num_timesteps), self.latent_dim)
+        return self.time_embed_2(nn.silu(self.time_embed_1(temb)))
+
     def encode_null(self, batch: int, frames: int):
         """The null condition matching training-time dropout: zeroed encoder
         tokens pushed through `proj` (whose bias is nonzero) — for CFG."""
@@ -423,8 +430,13 @@ class MotionTransformer(nn.Module):
         if src_mask is None:
             src_mask = jnp.ones((B, T, 1), dtype=x.dtype)
 
-        temb = timestep_embedding(timesteps, self.latent_dim)
-        temb = self.time_embed_2(nn.silu(self.time_embed_1(temb)))
+        if "temb_table" in cond:
+            # sampling: the whole temb ladder was precomputed outside the
+            # scan (`time_embed_table`) — one gather instead of an MLP/step
+            temb = cond["temb_table"][timesteps]
+        else:
+            temb = timestep_embedding(timesteps, self.latent_dim)
+            temb = self.time_embed_2(nn.silu(self.time_embed_1(temb)))
         emb = temb[:, None, :] + cond["emb_base"]  # per-frame cond (`:482`)
 
         get_mod = self._adaln_mods(emb)

@@ -312,10 +312,15 @@ class DDPMTrainer:
             sched = self.sched
 
         # Step-invariant conditioning (music projections + per-layer cross-attn
-        # KV) hoisted out of the 1000-step scan — see `precompute_cond`.
+        # KV) hoisted out of the 1000-step scan — see `precompute_cond` — plus
+        # the full temb ladder as a table (gather by t inside the scan).
         cond = self.model.apply(
             variables, xf_proj, xf_out, method=self.model.precompute_cond
         )
+        temb_table = self.model.apply(
+            variables, self.cfg.diffusion.steps, method=self.model.time_embed_table
+        )
+        cond = dict(cond, temb_table=temb_table)
         null_cond = None
         if guidance_scale != 1.0:
             xf_proj_n, xf_out_n = self.model.apply(
@@ -324,9 +329,25 @@ class DDPMTrainer:
             null_cond = self.model.apply(
                 variables, xf_proj_n, xf_out_n, method=self.model.precompute_cond
             )
+            null_cond = dict(null_cond, temb_table=temb_table)
 
-        def denoise_fn(x, tt, c, sm):
-            return self.model.apply(variables, x, tt, c, sm, method=self.model.denoise)
+        if self.cfg.denoiser.layer_impl == "pallas_fused":
+            from .fused_denoiser import FusedDenoiser
+
+            fused = FusedDenoiser(state.params, self.cfg)
+            cond = fused.prepare_cond(cond)
+            if null_cond is not None:
+                null_cond = fused.prepare_cond(null_cond)
+
+            def denoise_fn(x, tt, c, sm):
+                return fused(x, tt, c)
+
+        else:
+
+            def denoise_fn(x, tt, c, sm):
+                return self.model.apply(
+                    variables, x, tt, c, sm, method=self.model.denoise
+                )
 
         model_fn = guided_denoiser(
             denoise_fn, cond, src_mask,

@@ -1,0 +1,147 @@
+"""Packed-weight fused sampling path for the MotionTransformer.
+
+Owns the mapping from the flax param tree to the packed per-layer weight
+banks of `ops/pallas_layer.fused_decoder_layer`, and a pure `denoise`
+mirroring `MotionTransformer.denoise` built from those banks — used by
+`DDPMTrainer.generate` when ``DenoiserConfig.layer_impl == "pallas_fused"``.
+Parity with the flax path is pinned by `tests/test_fused_denoiser.py`.
+
+Inference-only by design: the sampler takes no gradients, so the kernel
+needs no VJP, and training keeps the composable flax modules.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..config import Config
+from ..models.transformer import timestep_embedding
+from ..ops.pallas_layer import fused_decoder_layer
+
+
+def _pad_to(x: jnp.ndarray, shape: tuple[int, ...]) -> jnp.ndarray:
+    pads = [(0, s - d) for d, s in zip(x.shape, shape)]
+    return jnp.pad(x, pads)
+
+
+def pack_layer_weights(params, layer: int, cfg: Config):
+    """One layer's flax params -> (mats (9,D,D), vecs (24,D), adaln_w,
+    adaln_b).  jnp-native: runs under jit on traced params (the trainer
+    constructs the fused path inside the jitted generate)."""
+    d = cfg.denoiser.latent_dim
+    blk = params[f"blocks_{layer}"]
+    sa, ca, ff = blk["self_attn"], blk["cross_attn"], blk["ffn"]
+    g = lambda p: jnp.asarray(p, jnp.float32)
+
+    mats = jnp.stack(
+        [
+            g(sa["Dense_0"]["kernel"]),              # Wq
+            g(sa["Dense_1"]["kernel"]),              # Wk
+            g(sa["Dense_2"]["kernel"]),              # Wv
+            g(sa["StylizationBlock_0"]["Dense_0"]["kernel"]),
+            g(ca["query"]["kernel"]),                # Wq_cross
+            g(ca["styl"]["Dense_0"]["kernel"]),
+            _pad_to(g(ff["Dense_0"]["kernel"]), (d, d)),   # W1 (D, ff)->D
+            _pad_to(g(ff["Dense_1"]["kernel"]), (d, d)),   # W2 (ff, D)->D
+            g(ff["StylizationBlock_0"]["Dense_0"]["kernel"]),
+        ]
+    )
+    rows = [
+        g(sa["LayerNorm_0"]["scale"]), g(sa["LayerNorm_0"]["bias"]),
+        g(sa["Dense_0"]["bias"]), g(sa["Dense_1"]["bias"]), g(sa["Dense_2"]["bias"]),
+        g(sa["StylizationBlock_0"]["LayerNorm_0"]["scale"]),
+        g(sa["StylizationBlock_0"]["LayerNorm_0"]["bias"]),
+        g(sa["StylizationBlock_0"]["Dense_0"]["bias"]),
+        g(ca["norm_x"]["scale"]), g(ca["norm_x"]["bias"]),
+        g(ca["query"]["bias"]),
+        g(ca["styl"]["LayerNorm_0"]["scale"]),
+        g(ca["styl"]["LayerNorm_0"]["bias"]),
+        g(ca["styl"]["Dense_0"]["bias"]),
+        _pad_to(g(ff["Dense_0"]["bias"]), (d,)),
+        g(ff["Dense_1"]["bias"]),
+        g(ff["StylizationBlock_0"]["LayerNorm_0"]["scale"]),
+        g(ff["StylizationBlock_0"]["LayerNorm_0"]["bias"]),
+        g(ff["StylizationBlock_0"]["Dense_0"]["bias"]),
+    ]
+    vecs = jnp.zeros((24, d), jnp.float32)
+    vecs = vecs.at[: len(rows)].set(jnp.stack(rows))
+
+    span = 3 * 2 * d
+    aw = g(params["adaln_kernel"])[:, layer * span : (layer + 1) * span]
+    ab = g(params["adaln_bias"])[layer * span : (layer + 1) * span]
+    return mats, vecs, aw, ab
+
+
+def expand_block_diag(kv: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, Dh, Dh) cross-KV state -> (B, H*Dh, H*Dh) block diagonal."""
+    b, h, dh, _ = kv.shape
+    out = jnp.zeros((b, h * dh, h * dh), kv.dtype)
+    for i in range(h):
+        out = out.at[:, i * dh : (i + 1) * dh, i * dh : (i + 1) * dh].set(
+            kv[:, i]
+        )
+    return out
+
+
+class FusedDenoiser:
+    """Callable denoiser built from packed weights + a precomputed cond."""
+
+    def __init__(self, params, cfg: Config):
+        self.cfg = cfg
+        d = cfg.denoiser
+        self.num_heads = d.num_heads
+        self.latent_dim = d.latent_dim
+        self.mxu_dtype = jnp.dtype(d.compute_dtype)
+        # mats/adaln_w feed the MXU (cast inside the kernel anyway) — store
+        # them at mxu_dtype to halve per-step HBM weight traffic at bf16.
+        # vecs stay f32 (VPU adds).
+        def bank(i):
+            mats, vecs, aw, ab = pack_layer_weights(params, i, cfg)
+            return (
+                mats.astype(self.mxu_dtype), vecs,
+                aw.astype(self.mxu_dtype), ab,
+            )
+
+        self.banks = [bank(i) for i in range(d.num_layers)]
+        p = params
+        self.w_joint = jnp.asarray(p["joint_embed"]["kernel"])
+        self.b_joint = jnp.asarray(p["joint_embed"]["bias"])
+        self.seq_emb = jnp.asarray(p["sequence_embedding"])
+        self.w_t1 = jnp.asarray(p["time_embed_1"]["kernel"])
+        self.b_t1 = jnp.asarray(p["time_embed_1"]["bias"])
+        self.w_t2 = jnp.asarray(p["time_embed_2"]["kernel"])
+        self.b_t2 = jnp.asarray(p["time_embed_2"]["bias"])
+        self.w_out = jnp.asarray(p["out"]["kernel"])
+        self.b_out = jnp.asarray(p["out"]["bias"])
+
+    def prepare_cond(self, cond) -> dict:
+        """`MotionTransformer.precompute_cond` output -> fused-path cond."""
+        out = {
+            "emb_base": cond["emb_base"],
+            "kv_blocks": [expand_block_diag(kv) for kv in cond["cross"]],
+        }
+        if "temb_table" in cond:
+            out["temb_table"] = cond["temb_table"]
+        return out
+
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray, cond: dict) -> jnp.ndarray:
+        B, T = x.shape[0], x.shape[1]
+        if "temb_table" in cond:
+            temb = cond["temb_table"][t]
+        else:
+            temb = timestep_embedding(t, self.latent_dim)
+            temb = nn.silu(temb @ self.w_t1 + self.b_t1) @ self.w_t2 + self.b_t2
+        # emb_act is read from HBM by all num_layers kernels — ship it at
+        # mxu_dtype (it only ever feeds MXU operands).
+        emb_act = nn.silu(temb[:, None, :] + cond["emb_base"]).astype(
+            self.mxu_dtype
+        )
+
+        h = x @ self.w_joint + self.b_joint + self.seq_emb[None, :T]
+        for (mats, vecs, aw, ab), kvb in zip(self.banks, cond["kv_blocks"]):
+            h = fused_decoder_layer(
+                h, emb_act, kvb, mats, vecs, aw, ab, self.num_heads,
+                mxu_dtype=self.mxu_dtype,
+            )
+        return (h @ self.w_out + self.b_out).astype(jnp.float32)
