@@ -21,7 +21,8 @@ import jax
 import numpy as np
 
 from ..config import Config, DiffusionConfig, TrainConfig
-from ..data import BatchIterator, ConductorMotionDataset
+from ..data import ConductorMotionDataset
+from ..data.native_loader import make_batch_iterator
 from ..parallel import make_mesh, replicate, shard_batch
 from ..train import CheckpointManager, DDPMTrainer
 from ..utils import MetricLogger
@@ -109,7 +110,10 @@ def main(argv=None) -> None:
         args.data_root, "train", sample_length=cfg.train.sample_length,
         mode="random", limit_hours=args.limit_hours, spec=cfg.dataset,
     )
-    loader = BatchIterator(ds, cfg.train.batch_size, times=args.times, seed=cfg.train.seed)
+    # native C++ prefetching loader when buildable, Python fallback otherwise
+    loader = make_batch_iterator(
+        ds, cfg.train.batch_size, times=args.times, seed=cfg.train.seed
+    )
     logger = MetricLogger(run_dir, console_every=cfg.train.log_every)
 
     with mesh:
