@@ -109,6 +109,10 @@ class TrainConfig:
     # replicate the reference byte-for-byte.
     replicate_reference_mask: bool = False
     timestep_sampler: str = "uniform"  # "uniform" | "loss-second-moment"
+    # Train from precomputed frozen-encoder features (data/feature_cache.py):
+    # the batch's conditioning slot carries (B, T30, 64) features instead of
+    # raw mel.  Numerically identical; skips the HBM-bound CNN every step.
+    cached_features: bool = False
     log_every: int = 5
     save_latest: int = 500
     save_every_e: int = 5

@@ -365,6 +365,20 @@ class MotionTransformer(nn.Module):
             x = x * keep[..., None]
         return self.proj(x), x
 
+    def cond_from_features(self, feats: jnp.ndarray, train: bool = False):
+        """Precomputed frozen-encoder features (B, T30, C) -> (xf_proj,
+        xf_out).  Identical to :meth:`encode_music` minus the encoder — the
+        condition dropout and the trainable `proj` sit after the feature-cache
+        boundary, so cached training is numerically identical."""
+        x = jax.lax.stop_gradient(feats)
+        if train and self.cond_mask_prob > 0:
+            rng = self.make_rng("cond")
+            keep = 1.0 - jax.random.bernoulli(
+                rng, self.cond_mask_prob, x.shape[:2]
+            ).astype(x.dtype)
+            x = x * keep[..., None]
+        return self.proj(x), x
+
     def init_with_music(self, mel: jnp.ndarray, x: jnp.ndarray, t: jnp.ndarray):
         """Initialization entry point touching every submodule (music encoder
         + denoiser); use as ``model.init(rngs, mel, x, t,

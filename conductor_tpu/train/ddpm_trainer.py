@@ -160,9 +160,13 @@ class DDPMTrainer:
         noise_rng, cond_rng = jax.random.split(rng)
 
         variables = {"params": params, "batch_stats": state.batch_stats}
+        cond_method = (
+            self.model.cond_from_features
+            if tcfg.cached_features
+            else self.model.encode_music
+        )
         xf_proj, xf_out = self.model.apply(
-            variables, mel, True, method=self.model.encode_music,
-            rngs={"cond": cond_rng},
+            variables, mel, True, method=cond_method, rngs={"cond": cond_rng},
         )
         if tcfg.replicate_reference_mask:
             cur_len = jnp.minimum(T, m_lens)

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from . import losses
 from ..models.generator import Discriminator1DCNN, Generator
 from ..models.stgcn import MotionEncoderSTGCN
 
@@ -56,11 +57,13 @@ class M2SGANTrainer:
         w_mse: float = 0.0,
         w_gp: float = 10.0,
         noise_dim: int = 8,
+        gp_terms: tuple[str, ...] = ("real_fake",),
     ):
         self.sample_length = sample_length
         self.critic_iters = critic_iters
         self.w_adv, self.w_sync, self.w_mse, self.w_gp = w_adv, w_sync, w_mse, w_gp
         self.noise_dim = noise_dim
+        self.gp_terms = gp_terms
         self.G = Generator(freeze_music_encoder=True)
         self.D = Discriminator1DCNN()
         self.sync_encoder = MotionEncoderSTGCN()
@@ -112,16 +115,12 @@ class M2SGANTrainer:
     # ------------------------------------------------------------------ loss
 
     def _gradient_penalty(self, d_params, real, fake, rng):
-        """'real_fake' GP term (`utils/loss.py:114-123`): whole-tensor gradient
-        norm, center 0 => sum of squared gradient entries."""
-        alpha = jax.random.uniform(rng, (real.shape[0], 1, 1, 1))
-        interp = alpha * real + (1 - alpha) * fake
-
-        def d_sum(x):
-            return self.D.apply({"params": d_params}, x).sum()
-
-        grads = jax.grad(d_sum)(interp)
-        return (grads**2).sum()
+        """WGAN-GP via the shared loss library; default term 'real_fake'
+        (`M2SGAN_train.py:99-100`), all five terms available via `gp_terms`."""
+        return losses.gradient_penalty(
+            lambda x: self.D.apply({"params": d_params}, x),
+            real, fake, rng, terms=self.gp_terms,
+        )
 
     def _train_step_impl(self, state: GANState, batch, rng: jax.Array):
         mel, real = batch

@@ -244,3 +244,45 @@ class TestMotionTransformer:
         # at t=0: cos(0)=1 for first half, sin(0)=0 for second half
         np.testing.assert_allclose(np.asarray(emb[0, :4]), np.ones(4), atol=1e-6)
         np.testing.assert_allclose(np.asarray(emb[0, 4:]), np.zeros(4), atol=1e-6)
+
+
+class TestDenseLaneFormulations:
+    """The merged-lane ST-GCN math must equal the direct conv/einsum forms."""
+
+    def test_graph_conv_composition(self, rng):
+        from conductor_tpu.models.stgcn import GraphConv
+
+        B, T, V, Cin, K, C = 2, 16, 13, 8, 3, 8
+        gc = GraphConv(features=C, spatial_kernel=K)
+        x = jax.random.normal(rng, (B, T, V, Cin))
+        A = jax.random.uniform(jax.random.PRNGKey(1), (K, V, V))
+        variables = gc.init(rng, x, A)
+        got = gc.apply(variables, x, A)
+
+        kernel = variables["params"]["kernel"]  # (Cin, K*C)
+        bias = variables["params"]["bias"]
+        y = jnp.einsum("btvc,ck->btvk", x, kernel) + bias  # pointwise conv
+        y = y.reshape(B, T, V, K, C)
+        want = jnp.einsum("btvkc,kvw->btwc", y, A)  # reference tgcn.py:64
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    def test_temporal_conv_matches_lax_conv(self, rng):
+        from conductor_tpu.models.stgcn import TemporalConv
+
+        B, T, V, Cin, C, kt, stride = 2, 30, 13, 8, 8, 3, 3
+        tc = TemporalConv(features=C, kernel_size=kt, stride=stride)
+        x = jax.random.normal(rng, (B, T, V, Cin))
+        variables = tc.init(rng, x)
+        got = tc.apply(variables, x)
+
+        kernel = variables["params"]["kernel"]  # (kt, Cin, C)
+        bias = variables["params"]["bias"]
+        want = jax.lax.conv_general_dilated(
+            x, kernel[:, None],  # (kt, 1, Cin, C)
+            window_strides=(stride, 1),
+            padding=((1, 1), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4
+        )
