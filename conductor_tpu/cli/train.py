@@ -58,11 +58,19 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_heads", type=int, default=8)
     p.add_argument("--no_eff", action="store_true", help="quadratic attention fallback")
     p.add_argument("--schedule", default="linear", choices=["linear", "cosine"])
+    p.add_argument("--cached_features", action="store_true",
+                   help="precompute frozen music-encoder features once and "
+                        "train from the cache (numerically identical, ~2x step)")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (replaces the reference's "
+                        "always-on anomaly detection, `tools/train.py:38`)")
     return p
 
 
 def main(argv=None) -> None:
     args = build_argparser().parse_args(argv)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from ..config import DenoiserConfig
 
@@ -79,6 +87,7 @@ def main(argv=None) -> None:
             log_every=args.log_every, save_latest=args.save_latest,
             save_every_e=args.save_every_e, seed=args.seed,
             replicate_reference_mask=args.replicate_reference_mask,
+            cached_features=args.cached_features,
         ),
     )
     run_dir = os.path.join(args.checkpoints_dir, cfg.dataset.name, args.name)
@@ -106,10 +115,26 @@ def main(argv=None) -> None:
     mesh = make_mesh(data=dp, devices=jax.devices()[:dp])
     print(f"devices: {n_dev}; mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
-    ds = ConductorMotionDataset(
-        args.data_root, "train", sample_length=cfg.train.sample_length,
-        mode="random", limit_hours=args.limit_hours, spec=cfg.dataset,
-    )
+    if args.cached_features:
+        from ..data.feature_cache import FeatureCachedDataset, precompute_music_features
+
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        encode = jax.jit(
+            lambda mel: trainer.model.apply(
+                variables, mel, method=trainer.model.encode_music
+            )[1]
+        )
+        n = precompute_music_features(encode, args.data_root, "train")
+        print(f"feature cache: {n} clips precomputed")
+        ds = FeatureCachedDataset(
+            args.data_root, "train", sample_length=cfg.train.sample_length,
+            mode="random", limit_hours=args.limit_hours, spec=cfg.dataset,
+        )
+    else:
+        ds = ConductorMotionDataset(
+            args.data_root, "train", sample_length=cfg.train.sample_length,
+            mode="random", limit_hours=args.limit_hours, spec=cfg.dataset,
+        )
     # native C++ prefetching loader when buildable, Python fallback otherwise
     loader = make_batch_iterator(
         ds, cfg.train.batch_size, times=args.times, seed=cfg.train.seed

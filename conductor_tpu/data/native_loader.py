@@ -41,6 +41,7 @@ def _load_library(build: bool = True) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
     ]
     lib.cdl_destroy.argtypes = [ctypes.c_void_p]
     lib.cdl_num_samples.argtypes = [ctypes.c_void_p]
@@ -85,20 +86,39 @@ class NativeBatchIterator:
         self.batch_size = batch_size
         self.epoch = 0
         spec = dataset.spec
-        self._mel_shape = (dataset.sample_length * spec.mel_hz, spec.mel_bins)
+        # FeatureCachedDataset streams 30 Hz cached features as the
+        # conditioning instead of 90 Hz mel — same loader, different rate.
+        from .feature_cache import FEATURE_FILE, FeatureCachedDataset
+
+        if isinstance(dataset, FeatureCachedDataset):
+            cond_hz = spec.motion_hz
+            first = np.load(
+                os.path.join(
+                    os.path.dirname(dataset.clips[0].mel_path), FEATURE_FILE
+                ),
+                mmap_mode="r",
+            )
+            self._mel_shape = (dataset.sample_length * cond_hz, first.shape[-1])
+            cond_paths = [
+                os.path.join(os.path.dirname(c.mel_path), FEATURE_FILE).encode()
+                for c in dataset.clips
+            ]
+        else:
+            cond_hz = spec.mel_hz
+            self._mel_shape = (dataset.sample_length * spec.mel_hz, spec.mel_bins)
+            cond_paths = [c.mel_path.encode() for c in dataset.clips]
         self._mot_shape = (
             dataset.sample_length * spec.motion_hz, spec.n_joints, spec.joint_dim,
         )
-        mel_paths = [c.mel_path.encode() for c in dataset.clips]
         mot_paths = [c.motion_path.encode() for c in dataset.clips]
-        MelArr = ctypes.c_char_p * len(mel_paths)
+        MelArr = ctypes.c_char_p * len(cond_paths)
         self._lib = lib
         self._handle = lib.cdl_create(
-            MelArr(*mel_paths), MelArr(*mot_paths), len(mel_paths),
+            MelArr(*cond_paths), MelArr(*mot_paths), len(cond_paths),
             dataset.sample_length, batch_size,
             0 if dataset.mode == "sequential" else 1,
             1 if shuffle else 0, 1 if drop_last else 0, times,
-            seed, n_threads, n_prefetch,
+            seed, n_threads, n_prefetch, cond_hz,
         )
         if not self._handle:
             raise RuntimeError("cdl_create failed (see stderr)")

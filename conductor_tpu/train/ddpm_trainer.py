@@ -343,6 +343,13 @@ class DDPMTrainer:
             if null_cond is not None:
                 null_cond = fused.prepare_cond(null_cond)
 
+            if sampler == "ddim" and guidance_scale == 1.0:
+                # all-kernel fast path: glue kernels absorb the per-step
+                # embedding/projection/update XLA fusions
+                return fused.ddim_sample(
+                    cond, sched, (B, T, self.cfg.denoiser.input_feats), rng
+                )
+
             def denoise_fn(x, tt, c, sm):
                 return fused(x, tt, c)
 

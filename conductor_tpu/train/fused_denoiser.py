@@ -13,6 +13,7 @@ needs no VJP, and training keeps the composable flax modules.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..config import Config
@@ -145,3 +146,52 @@ class FusedDenoiser:
                 mxu_dtype=self.mxu_dtype,
             )
         return (h @ self.w_out + self.b_out).astype(jnp.float32)
+
+    def ddim_sample(self, cond: dict, sched, shape, rng: jax.Array) -> jnp.ndarray:
+        """Full eta=0 DDIM ladder with the sampler glue kernels
+        (`ops/pallas_sampler.py`): the scan body is kernels end-to-end —
+        prologue -> num_layers fused layers -> epilogue — plus two table
+        gathers.  Matches `sampling.ddim_sample_loop` over :meth:`__call__`
+        exactly (same rng stream; eta=0 draws no per-step noise)."""
+        from ..ops.pallas_sampler import (
+            ddim_affine_tables,
+            sampler_epilogue,
+            sampler_prologue,
+        )
+
+        B, T, C = shape
+        D = self.latent_dim
+        P = 128 if C <= 128 else ((C + 127) // 128) * 128
+        w_joint = jnp.zeros((P, D), self.w_joint.dtype).at[:C].set(self.w_joint)
+        w_out = jnp.zeros((D, P), self.w_out.dtype).at[:, :C].set(self.w_out)
+        b_out = jnp.zeros((P,), self.b_out.dtype).at[:C].set(self.b_out)
+        seq_bias = self.seq_emb[:T] + self.b_joint
+        alpha_tab, beta_tab = ddim_affine_tables(sched)
+        temb_table = cond["temb_table"]
+
+        init_rng, _ = jax.random.split(rng)
+        x = jnp.pad(
+            jax.random.normal(init_rng, (B, T, C)), ((0, 0), (0, 0), (0, P - C))
+        )
+
+        def body(x, t):
+            t_model = sched.timestep_map[t]
+            emb = temb_table[t_model][None, None, :] + cond["emb_base"]
+            h, emb_act = sampler_prologue(
+                x, emb, w_joint, seq_bias,
+                mxu_dtype=self.mxu_dtype, emb_dtype=self.mxu_dtype,
+            )
+            for (mats, vecs, aw, ab), kvb in zip(self.banks, cond["kv_blocks"]):
+                h = fused_decoder_layer(
+                    h, emb_act, kvb, mats, vecs, aw, ab, self.num_heads,
+                    mxu_dtype=self.mxu_dtype,
+                )
+            x = sampler_epilogue(
+                h, x, w_out, b_out, alpha_tab[t], beta_tab[t],
+                mxu_dtype=self.mxu_dtype,
+            )
+            return x, None
+
+        timesteps = jnp.arange(sched.num_timesteps - 1, -1, -1, dtype=jnp.int32)
+        x, _ = jax.lax.scan(body, x, timesteps)
+        return x[:, :, :C]

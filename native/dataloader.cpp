@@ -111,7 +111,6 @@ struct NpyArray {
 
 // ------------------------------------------------------------------ loader
 
-constexpr int kMelHz = 90;
 constexpr int kMotionHz = 30;
 
 struct Clip {
@@ -128,6 +127,7 @@ struct Sample {
 
 struct Loader {
   std::vector<Clip> clips;
+  int mel_hz = 90;  // rows/second of the conditioning stream (30 for cached features)
   int sample_length, batch_size, mode /*0=sequential,1=random*/;
   bool shuffle, drop_last;
   int times;
@@ -231,8 +231,8 @@ struct Loader {
                             uint64_t(order[static_cast<size_t>(b) * batch_size + i]));
         start_sec = max_start > 0 ? static_cast<int>(rng() % (max_start + 1)) : 0;
       }
-      c.mel.copy_rows(int64_t(start_sec) * kMelHz,
-                      int64_t(start_sec + sample_length) * kMelHz, mel_row,
+      c.mel.copy_rows(int64_t(start_sec) * mel_hz,
+                      int64_t(start_sec + sample_length) * mel_hz, mel_row,
                       slot.mel.data() + int64_t(i) * mel_win * mel_row);
       c.motion.copy_rows(int64_t(start_sec) * kMotionHz,
                          int64_t(start_sec + sample_length) * kMotionHz, mot_row,
@@ -297,7 +297,7 @@ extern "C" {
 void* cdl_create(const char** mel_paths, const char** motion_paths,
                  int n_clips, int sample_length, int batch_size, int mode,
                  int shuffle, int drop_last, int times, uint64_t seed,
-                 int n_threads, int n_prefetch) {
+                 int n_threads, int n_prefetch, int mel_hz) {
   auto* L = new Loader();
   L->sample_length = sample_length;
   L->batch_size = batch_size;
@@ -327,7 +327,8 @@ void* cdl_create(const char** mel_paths, const char** motion_paths,
   if (L->clips.empty()) { delete L; return nullptr; }
   L->mel_row = L->clips[0].mel_row;
   L->mot_row = L->clips[0].motion_row;
-  L->mel_win = int64_t(sample_length) * kMelHz;
+  L->mel_hz = mel_hz;
+  L->mel_win = int64_t(sample_length) * mel_hz;
   L->mot_win = int64_t(sample_length) * kMotionHz;
   L->build_samples();
 

@@ -105,3 +105,25 @@ class TestEvaluateCLI:
             report = json.load(f)
         for key in ("fgd", "diversity", "mse", "sync_error", "mpe", "sdp"):
             assert key in report and np.isfinite(report[key]), key
+
+
+class TestCachedFeaturesCLI:
+    def test_train_with_cache(self, synth_root, tmp_path_factory):
+        from conductor_tpu.cli.train import main
+        from conductor_tpu.data.feature_cache import FEATURE_FILE
+
+        ckpts = str(tmp_path_factory.mktemp("ckpts_cached"))
+        main([
+            "--data_root", synth_root, "--name", "cached", "--checkpoints_dir",
+            ckpts, "--batch_size", "4", "--epochs", "1", "--diffusion_steps",
+            "8", "--schedule", "cosine", "--sample_length", "2",
+            "--latent_dim", "32", "--ff_size", "16", "--num_layers", "2",
+            "--num_heads", "4", "--cached_features",
+        ])
+        run = os.path.join(ckpts, "ConductorMotion100", "cached")
+        assert os.path.isfile(os.path.join(run, "metrics.jsonl"))
+        # cache files written next to the mels
+        assert os.path.isfile(os.path.join(synth_root, "train", "0", FEATURE_FILE))
+        # config records the cached mode
+        cfg = json.load(open(os.path.join(run, "config.json")))
+        assert cfg["train"]["cached_features"] is True

@@ -77,3 +77,55 @@ def test_fused_generate_end_to_end():
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(out_flax), atol=5e-4
     )
+
+
+def test_affine_tables_match_ddim_step():
+    """alpha*x0 + beta*x_t must equal the generic ddim_step (eta=0, START_X)."""
+    from conductor_tpu.diffusion.gaussian import MeanType
+    from conductor_tpu.diffusion.sampling import ddim_step
+    from conductor_tpu.diffusion.schedule import make_schedule
+    from conductor_tpu.ops.pallas_sampler import ddim_affine_tables
+
+    sched = make_schedule("cosine", 16)
+    alpha, beta = ddim_affine_tables(sched)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 8, 26))
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 26))
+
+    for t_scalar in (0, 7, 15):
+        t = jnp.full((2,), t_scalar)
+        want, _ = ddim_step(
+            sched, lambda xx, tt: x0, x, t, rng, mean_type=MeanType.START_X
+        )
+        got = alpha[t_scalar] * x0 + beta[t_scalar] * x
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fused_ddim_fast_path_matches_generic():
+    """The all-kernel ddim_sample must equal the generic scan sampler driving
+    FusedDenoiser.__call__ (same rng)."""
+    base = Config(
+        denoiser=DenoiserConfig(
+            num_frames=32, latent_dim=32, ff_size=16, num_layers=2, num_heads=4,
+            layer_impl="pallas_fused",
+        ),
+    )
+    base = base.replace(
+        diffusion=dataclasses.replace(base.diffusion, steps=8, schedule="cosine"),
+        train=dataclasses.replace(base.train, sample_length=1),
+    )
+    rng = jax.random.PRNGKey(0)
+    mel = jax.random.uniform(jax.random.PRNGKey(1), (1, 96, 128))
+
+    tr = DDPMTrainer(base)
+    state = tr.init_state(rng)
+    out_fast = tr.generate(state, mel, rng)  # ddim + guidance 1 -> fast path
+
+    # the flax path through the generic scan sampler is the oracle
+    cfg_flax = base.replace(
+        denoiser=dataclasses.replace(base.denoiser, layer_impl="flax")
+    )
+    out_ref = DDPMTrainer(cfg_flax).generate(state, mel, rng)
+    np.testing.assert_allclose(
+        np.asarray(out_fast), np.asarray(out_ref), atol=5e-4
+    )
