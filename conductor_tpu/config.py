@@ -67,6 +67,9 @@ class DenoiserConfig:
     layer_impl: str = "flax"          # "flax" | "pallas_fused" — sampling-path layer impl
                                       # (fused whole-layer kernel, ops/pallas_layer.py;
                                       # inference-only, training always uses flax)
+    music_encoder_impl: str = "flax"  # "flax" | "pallas" — frozen-encoder impl for
+                                      # generation/eval (fused conv kernels,
+                                      # ops/pallas_conv.py; <2% feature drift at bf16)
 
     @property
     def time_embed_dim(self) -> int:

@@ -102,3 +102,80 @@ class MusicEncoder(nn.Module):
         h4 = self.proj_bn(self.proj(h3_flat), use_running_average=not train)
         flat = lambda h: h.reshape(h.shape[0], h.shape[1], -1)
         return [mel, flat(h1), flat(h2), h3_flat, h4]
+
+
+class FusedMusicEncoder:
+    """Inference-path MusicEncoder built on the fused Pallas conv kernel
+    (`ops/pallas_conv.py`): one kernel per Conv2dResBlock with BN running
+    stats and the residual branch folded in; max-pools and the final
+    projection stay XLA.  Training keeps the flax module (batch statistics +
+    backward).  Parity vs `MusicEncoder.__call__(train=False)` is pinned in
+    `tests/test_pallas_conv.py`.
+
+    ``variables``: the MusicEncoder subtree ({"params": ..., "batch_stats":
+    ...}) — e.g. sliced out of a MotionTransformer checkpoint.
+    """
+
+    # (block name, res_mode): 0 none, 1 identity, 2 conv1x1+BN branch
+    BLOCKS = [
+        ("conv1_0", 0), ("conv1_1", 1), ("conv1_2", 1),
+        ("conv2_0", 2), ("conv2_1", 1),
+        ("conv3_0", 1), ("conv3_1", 1),
+    ]
+
+    def __init__(self, variables, mxu_dtype=jnp.bfloat16):
+        from ..ops.pallas_conv import fold_bn
+
+        params = variables["params"]
+        stats = variables["batch_stats"]
+        self.mxu_dtype = mxu_dtype
+        self.block_args = []
+        for name, res_mode in self.BLOCKS:
+            p, s = params[name], stats[name]
+            scale, bias = fold_bn(
+                p["Conv_0"]["bias"], s["BatchNorm_0"]["mean"],
+                s["BatchNorm_0"]["var"], p["BatchNorm_0"]["scale"],
+                p["BatchNorm_0"]["bias"],
+            )
+            kw = dict(
+                kernel=p["Conv_0"]["kernel"], scale=scale, bias=bias,
+                res_mode=res_mode,
+            )
+            if res_mode == 2:
+                rs, rb = fold_bn(
+                    p["Conv_1"]["bias"], s["BatchNorm_1"]["mean"],
+                    s["BatchNorm_1"]["var"], p["BatchNorm_1"]["scale"],
+                    p["BatchNorm_1"]["bias"],
+                )
+                kw.update(
+                    res_kernel=p["Conv_1"]["kernel"][0, 0],
+                    res_scale=rs, res_bias=rb,
+                )
+            self.block_args.append(kw)
+        self.proj_w = params["proj"]["kernel"]
+        ps, pb = fold_bn(
+            params["proj"]["bias"], stats["proj_bn"]["mean"],
+            stats["proj_bn"]["var"], params["proj_bn"]["scale"],
+            params["proj_bn"]["bias"],
+        )
+        self.proj_scale, self.proj_bias = ps, pb
+
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.pallas_conv import fused_conv_block
+
+        # activations flow at mxu_dtype end-to-end (halves the HBM traffic
+        # that dominates the full-resolution stages); projection back to f32
+        x = mel.astype(self.mxu_dtype)[..., None]
+        blk = iter(self.block_args)
+        for _ in range(3):
+            x = fused_conv_block(x, mxu_dtype=self.mxu_dtype, **next(blk))
+        x = _max_pool(x, (5, 5), (1, 2), ((2, 2), (2, 2)))
+        for _ in range(2):
+            x = fused_conv_block(x, mxu_dtype=self.mxu_dtype, **next(blk))
+        x = _max_pool(x, (5, 5), (3, 2), ((2, 2), (2, 2)))
+        for _ in range(2):
+            x = fused_conv_block(x, mxu_dtype=self.mxu_dtype, **next(blk))
+        x = _max_pool(x, (3, 3), (1, 2), ((1, 1), (1, 1)))
+        B, T, F, C = x.shape
+        h = jnp.transpose(x, (0, 1, 3, 2)).reshape(B, T, C * F).astype(jnp.float32)
+        return (h @ self.proj_w) * self.proj_scale + self.proj_bias

@@ -300,9 +300,23 @@ class DDPMTrainer:
         sampler: str,
     ) -> jnp.ndarray:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        xf_proj, xf_out = self.model.apply(
-            variables, mel, method=self.model.encode_music
-        )
+        if self.cfg.denoiser.music_encoder_impl == "pallas":
+            from ..models.music_encoder import FusedMusicEncoder
+
+            feats = FusedMusicEncoder(
+                {
+                    "params": state.params["music_encoder"],
+                    "batch_stats": state.batch_stats["music_encoder"],
+                },
+                mxu_dtype=jnp.dtype(self.cfg.denoiser.compute_dtype),
+            )(mel)
+            xf_proj, xf_out = self.model.apply(
+                variables, feats, method=self.model.cond_from_features
+            )
+        else:
+            xf_proj, xf_out = self.model.apply(
+                variables, mel, method=self.model.encode_music
+            )
         B, T = xf_proj.shape[0], xf_proj.shape[1]
         src_mask = jnp.ones((B, T, 1))
 
