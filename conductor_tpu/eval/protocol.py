@@ -211,3 +211,80 @@ class EvaluationProtocol:
                     calculate_multimodality(act, mt, seed=seed),
                 )
         return result
+
+
+class PregeneratedSamples:
+    """Pre-generated evaluation samples (reference `datasets/evaluator.py:
+    16-130` `EvaluationDataset`): every sample — plus multimodality repeats
+    for a random condition subset — is generated ONCE up front in device
+    batches, then replayed into the protocol.  Generation dominates eval
+    wall-clock (SURVEY.md §3.5), so metrics never trigger a second pass.
+
+    ``generate_fn(conds (B, ...), repeats=1) -> (B, ...)`` or, with
+    repeats=R, ``(B, R, ...)``.
+    """
+
+    def __init__(
+        self,
+        generate_fn: Callable,
+        conds,
+        *,
+        mm_num_samples: int = 0,
+        mm_num_repeats: int = 0,
+        batch_size: int = 8,
+        seed: int = 0,
+    ):
+        conds = list(conds)
+        self.conds = conds
+        fakes = []
+        for i in range(0, len(conds), batch_size):
+            chunk = np.stack(conds[i : i + batch_size])
+            fakes.append(np.asarray(generate_fn(chunk)))
+        self.fakes = np.concatenate(fakes, axis=0) if fakes else np.zeros((0,))
+
+        self.mm_indices = []
+        self.mm_fakes = None
+        if mm_num_samples > 0 and mm_num_repeats > 0:
+            rng = np.random.default_rng(seed)
+            self.mm_indices = sorted(
+                rng.choice(len(conds), min(mm_num_samples, len(conds)), replace=False)
+            )
+            reps = []
+            for idx in self.mm_indices:
+                out = np.asarray(
+                    generate_fn(np.stack([conds[idx]]), repeats=mm_num_repeats)
+                )
+                reps.append(out[0])  # (R, ...)
+            self.mm_fakes = np.stack(reps)  # (N_mm, R, ...)
+
+    def __len__(self) -> int:
+        return len(self.conds)
+
+    def __getitem__(self, idx: int):
+        return self.conds[idx], self.fakes[idx]
+
+    def generator(self) -> Callable:
+        """A `generate(cond_batch)` closure replaying the cached samples in
+        protocol batch order — plug into `EvaluationProtocol.run`."""
+        cursor = {"i": 0}
+
+        def gen(cond_batch):
+            n = np.shape(cond_batch)[0]
+            i = cursor["i"]
+            cursor["i"] = i + n
+            return self.fakes[i : i + n]
+
+        return gen
+
+    def mm_args(self):
+        """(mm_generate, mm_conds) for `EvaluationProtocol.run`."""
+        if self.mm_fakes is None:
+            return None, None
+        cursor = {"i": 0}
+
+        def mm_generate(cond):
+            i = cursor["i"]
+            cursor["i"] = i + 1
+            return self.mm_fakes[i]
+
+        return mm_generate, [self.conds[i] for i in self.mm_indices]

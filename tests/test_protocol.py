@@ -95,3 +95,53 @@ def test_m2snet_co_embedding_pools_time():
     c, m = w.embed(np.ones((2, 30, 128)), np.zeros((2, 10, 13, 2)))
     assert c.shape == (2, 64) and m.shape == (2, 64)
     assert np.allclose(m, 2.0)
+
+
+def test_pregenerated_samples():
+    from conductor_tpu.eval.protocol import PregeneratedSamples
+
+    rs = np.random.RandomState(0)
+    conds = [rs.rand(6).astype(np.float32) for _ in range(7)]
+    calls = {"n": 0, "mm": 0}
+
+    def generate_fn(chunk, repeats=1):
+        calls["n"] += 1
+        if repeats > 1:
+            calls["mm"] += 1
+            return np.repeat(chunk[:, None], repeats, axis=1) + 0.01
+        return chunk + 1.0
+
+    pre = PregeneratedSamples(
+        generate_fn, conds, mm_num_samples=3, mm_num_repeats=4, batch_size=3
+    )
+    assert len(pre) == 7
+    cond0, fake0 = pre[0]
+    np.testing.assert_allclose(fake0, conds[0] + 1.0)
+    assert pre.mm_fakes.shape == (3, 4, 6)
+
+    # replay through the protocol: generation happens zero extra times
+    n_before = calls["n"]
+    batches = [(np.stack(conds[i : i + 3]),) * 2 for i in (0, 3)]
+    gen = pre.generator()
+    for cond, _ in batches:
+        out = gen(cond)
+        np.testing.assert_allclose(out, cond + 1.0)
+    assert calls["n"] == n_before
+
+    mm_generate, mm_conds = pre.mm_args()
+    assert len(mm_conds) == 3
+    assert mm_generate(mm_conds[0]).shape == (4, 6)
+
+
+def test_protocol_with_pregenerated():
+    from conductor_tpu.eval.protocol import PregeneratedSamples
+
+    rs = np.random.RandomState(1)
+    stored = [(rs.rand(6, 4), rs.rand(6, 4))]
+    conds = [c for batch in stored for c in batch[0]]
+    pre = PregeneratedSamples(lambda c, repeats=1: c.copy(), conds, batch_size=6)
+    protocol = EvaluationProtocol(
+        IdentityWrapper(), ProtocolConfig(replication_times=1, diversity_times=3)
+    )
+    result = protocol.run(lambda: iter(stored), {"pregen": pre.generator()})
+    assert "FID" in result.summary()
