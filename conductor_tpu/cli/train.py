@@ -64,6 +64,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (replaces the reference's "
                         "always-on anomaly detection, `tools/train.py:38`)")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace of the first N steps "
+                        "to <run_dir>/profile (view with TensorBoard/XProf)")
     return p
 
 
@@ -141,6 +144,10 @@ def main(argv=None) -> None:
     )
     logger = MetricLogger(run_dir, console_every=cfg.train.log_every)
 
+    profiling = args.profile_steps > 0
+    if profiling:
+        jax.profiler.start_trace(os.path.join(run_dir, "profile"))
+
     with mesh:
         state = replicate(state, mesh)
         it = int(state.step)
@@ -151,6 +158,11 @@ def main(argv=None) -> None:
                 state, metrics = trainer.train_step(state, shard_batch(batch, mesh), rng)
                 it += 1
                 logger.log(it, metrics, epoch=epoch)
+                if profiling and it >= args.profile_steps:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"profile written to {run_dir}/profile")
                 if it % cfg.train.save_latest == 0:
                     ckpt.save(it, state)
             if epoch % cfg.train.save_every_e == 0:

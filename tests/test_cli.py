@@ -127,3 +127,25 @@ class TestCachedFeaturesCLI:
         # config records the cached mode
         cfg = json.load(open(os.path.join(run, "config.json")))
         assert cfg["train"]["cached_features"] is True
+
+
+class TestProfileFlag:
+    def test_profile_trace_written(self, synth_root, tmp_path_factory):
+        from conductor_tpu.cli.train import main
+
+        ckpts = str(tmp_path_factory.mktemp("ckpts_prof"))
+        main([
+            "--data_root", synth_root, "--name", "prof", "--checkpoints_dir",
+            ckpts, "--batch_size", "4", "--epochs", "1", "--diffusion_steps",
+            "8", "--schedule", "cosine", "--sample_length", "2",
+            "--latent_dim", "32", "--ff_size", "16", "--num_layers", "2",
+            "--num_heads", "4", "--profile_steps", "1",
+        ])
+        prof_dir = os.path.join(ckpts, "ConductorMotion100", "prof", "profile")
+        assert os.path.isdir(prof_dir)
+        # a trace event file exists somewhere under the profile dir
+        found = any(
+            f.endswith((".trace.json.gz", ".xplane.pb"))
+            for _, _, files in os.walk(prof_dir) for f in files
+        )
+        assert found
