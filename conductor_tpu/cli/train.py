@@ -175,9 +175,9 @@ def main(argv=None) -> None:
 def _load_stage1(ckpt_dir: str) -> dict:
     """Graft the stage-1 M2SNet encoder subtrees (the cross-stage contract,
     `transformer.py:394-401` / `ddpm_trainer.py:71-78`)."""
-    import orbax.checkpoint as ocp
+    from ..train.checkpoints import restore_raw
 
-    restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_dir))
+    restored = restore_raw(ckpt_dir)
     params = restored["params"]
     stats = restored.get("batch_stats", {})
     return dict(

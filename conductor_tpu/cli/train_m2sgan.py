@@ -56,9 +56,9 @@ def main(argv=None) -> None:
 
     transfer = {}
     if args.m2snet_ckpt:
-        import orbax.checkpoint as ocp
+        from ..train.checkpoints import restore_raw
 
-        restored = ocp.StandardCheckpointer().restore(os.path.abspath(args.m2snet_ckpt))
+        restored = restore_raw(args.m2snet_ckpt)
         params, stats = restored["params"], restored.get("batch_stats", {})
         transfer = dict(
             m2snet_music_params=params["music_encoder"],

@@ -16,6 +16,25 @@ from typing import Any
 import orbax.checkpoint as ocp
 
 
+def restore_raw(ckpt_dir: str) -> Any:
+    """Restore a checkpoint as a raw pytree (no template) for cross-stage
+    grafting — e.g. pulling `music_encoder`/`motion_encoder` subtrees out of a
+    stage-1 run (`transformer.py:394-401`).  Accepts either a concrete step
+    directory or a CheckpointManager root (resolves to the latest step)."""
+    path = os.path.abspath(ckpt_dir)
+    if not os.path.exists(os.path.join(path, "_METADATA")):
+        steps = sorted(
+            (int(d) for d in os.listdir(path) if d.isdigit()), reverse=True
+        )
+        if not steps:
+            raise FileNotFoundError(f"no checkpoint steps under {path}")
+        path = os.path.join(path, str(steps[0]))
+        # CheckpointManager nests the pytree under a 'default' item
+        if os.path.isdir(os.path.join(path, "default")):
+            path = os.path.join(path, "default")
+    return ocp.StandardCheckpointer().restore(path)
+
+
 class CheckpointManager:
     """Step-versioned checkpoints of an arbitrary state pytree."""
 

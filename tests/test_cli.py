@@ -149,3 +149,32 @@ class TestProfileFlag:
             for _, _, files in os.walk(prof_dir) for f in files
         )
         assert found
+
+
+class TestCrossStageGraft:
+    def test_stage1_to_stage2(self, synth_root, tmp_path_factory):
+        """M2SNet CLI -> checkpoint -> stage-2 train CLI --stage1_ckpt, with
+        the manager-root path (steps resolved by restore_raw)."""
+        from conductor_tpu.cli.train import main as train_main
+        from conductor_tpu.cli.train_m2snet import main as m2snet_main
+
+        ckpts = str(tmp_path_factory.mktemp("ckpts_graft"))
+        m2snet_main([
+            "--data_root", synth_root, "--checkpoints_dir", ckpts,
+            "--epochs", "1", "--batch_size", "4", "--sample_length", "6",
+            "--clip_length", "2", "--evaluate_epoch", "5",
+        ])
+        stage1_ckpt = os.path.join(ckpts, "M2SNet", "M2SNet_hard", "ckpt")
+        assert os.path.isdir(stage1_ckpt)
+
+        train_main([
+            "--data_root", synth_root, "--name", "grafted",
+            "--checkpoints_dir", ckpts, "--batch_size", "4", "--epochs", "1",
+            "--diffusion_steps", "8", "--schedule", "cosine",
+            "--sample_length", "2", "--latent_dim", "32", "--ff_size", "16",
+            "--num_layers", "2", "--num_heads", "4",
+            "--stage1_ckpt", stage1_ckpt,
+        ])
+        assert os.path.isfile(
+            os.path.join(ckpts, "ConductorMotion100", "grafted", "metrics.jsonl")
+        )
