@@ -122,6 +122,13 @@ class FusedMusicEncoder:
         ("conv2_0", 2), ("conv2_1", 1),
         ("conv3_0", 1), ("conv3_1", 1),
     ]
+    # each stage's trailing max-pool, fused into the last conv block's
+    # epilogue (`ops/pallas_conv.py` pool=): window, strides, padding
+    POOLS = {
+        "conv1_2": ((5, 5), (1, 2), ((2, 2), (2, 2))),
+        "conv2_1": ((5, 5), (3, 2), ((2, 2), (2, 2))),
+        "conv3_1": ((3, 3), (1, 2), ((1, 1), (1, 1))),
+    }
 
     def __init__(self, variables, mxu_dtype=jnp.bfloat16):
         from ..ops.pallas_conv import fold_bn
@@ -139,7 +146,7 @@ class FusedMusicEncoder:
             )
             kw = dict(
                 kernel=p["Conv_0"]["kernel"], scale=scale, bias=bias,
-                res_mode=res_mode,
+                res_mode=res_mode, pool=self.POOLS.get(name),
             )
             if res_mode == 2:
                 rs, rb = fold_bn(
@@ -166,16 +173,8 @@ class FusedMusicEncoder:
         # activations flow at mxu_dtype end-to-end (halves the HBM traffic
         # that dominates the full-resolution stages); projection back to f32
         x = mel.astype(self.mxu_dtype)[..., None]
-        blk = iter(self.block_args)
-        for _ in range(3):
-            x = fused_conv_block(x, mxu_dtype=self.mxu_dtype, **next(blk))
-        x = _max_pool(x, (5, 5), (1, 2), ((2, 2), (2, 2)))
-        for _ in range(2):
-            x = fused_conv_block(x, mxu_dtype=self.mxu_dtype, **next(blk))
-        x = _max_pool(x, (5, 5), (3, 2), ((2, 2), (2, 2)))
-        for _ in range(2):
-            x = fused_conv_block(x, mxu_dtype=self.mxu_dtype, **next(blk))
-        x = _max_pool(x, (3, 3), (1, 2), ((1, 1), (1, 1)))
+        for kw in self.block_args:
+            x = fused_conv_block(x, mxu_dtype=self.mxu_dtype, **kw)
         B, T, F, C = x.shape
         h = jnp.transpose(x, (0, 1, 3, 2)).reshape(B, T, C * F).astype(jnp.float32)
         return (h @ self.proj_w) * self.proj_scale + self.proj_bias

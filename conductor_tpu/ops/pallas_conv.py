@@ -76,7 +76,7 @@ def _tile(vec: jnp.ndarray, g: int) -> jnp.ndarray:
 def _conv_kernel(
     xt_ref, wbig_ref, scale_ref, bias_ref, resw_ref, rs_ref, rb_ref, o_ref,
     *, tile: int, fb: int, g: int, cin: int, cout: int,
-    res_mode: int, mxu_dtype,
+    res_mode: int, mxu_dtype, pool=None, t_valid: int = 0,
 ):
     # --- F halo: (T+2, FB, G*Cin) tile (T halo pre-stacked by the caller)
     tp = tile + 2
@@ -124,7 +124,26 @@ def _conv_kernel(
         )
         y = y + r * rs_ref[0].astype(F32) + rb_ref[0].astype(F32)
 
-    o_ref[0] = y.reshape(tile, fb, n).astype(o_ref.dtype)
+    if pool is None:
+        o_ref[0] = y.reshape(tile, fb, n).astype(o_ref.dtype)
+        return
+
+    # --- fused max-pool epilogue (the encoder pools right after the last
+    # conv of each stage): mask conv rows outside the clip to -inf, pool
+    # time (sublane slices) then freq+stride-2 (lane slices) in-register —
+    # the separate reduce_window pass and its HBM round trip disappear.
+    from .pallas_pool import _freq_pool_compress, _time_pool
+
+    p_out, wt, st, pt, wf, pf = pool
+    neg = float(jnp.finfo(F32).min)
+    j = pl.program_id(1)
+    row0 = j * p_out * st - pt
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile, 1, 1), 0) + row0
+    y3 = jnp.where(
+        (rows >= 0) & (rows < t_valid), y.reshape(tile, fb, n), neg
+    )
+    t = _time_pool(y3, p_out, wt, st)
+    o_ref[0] = _freq_pool_compress(t, g, cout, wf, pf, neg).astype(o_ref.dtype)
 
 
 def fused_conv_block(
@@ -139,9 +158,15 @@ def fused_conv_block(
     res_bias: jnp.ndarray | None = None,
     tile: int = 150,
     mxu_dtype=jnp.bfloat16,
+    pool: tuple | None = None,  # (window, strides, padding) max-pool epilogue
+    pool_tile: int | None = None,
 ) -> jnp.ndarray:
     """One Conv2dResBlock (`MusicEncoder.py:5-27`) as a single fused kernel.
-    Requires G = 128 // Cin freq-blocking to divide F, and tile | T."""
+    Requires G = 128 // Cin freq-blocking to divide F, and tile | T.
+
+    With ``pool``, the encoder's follow-on max-pool (time window/stride/pad
+    per `MusicEncoder.py:30-53`, freq stride 2) runs as an in-register
+    epilogue and the kernel emits the pooled (B, T', F/2, Cout) directly."""
     b, t, f, cin = x.shape
     cout = kernel.shape[-1]
     g = max(128 // cin, 1)
@@ -170,20 +195,52 @@ def fused_conv_block(
     # tiling constraints land on the aligned (FB, G*C) axes.
     x2 = x.reshape(b, t, f * cin)
     n = g * cout
-    nt = t // tile
-    xp = jnp.concatenate([x2[:, 1:2], x2, x2[:, t - 2 : t - 1]], axis=1)
-    xtiles = jnp.stack(
-        [xp[:, j * tile : j * tile + tile + 2] for j in range(nt)], axis=1
-    ).reshape(b, nt, tile + 2, fbn, g * cin)
+    pool_arg = None
+    if pool is not None:
+        from .pallas_pool import pool_geometry
+
+        window, strides, padding = pool
+        assert cin == cout, "pool epilogue expects Cin == Cout stages"
+        wt, wf = window
+        st = strides[0]
+        pt, pf = padding[0][0], padding[1][0]
+        t_out, p_out, rows_blk = pool_geometry(
+            t, window, strides, padding, pool_tile or (150 if st == 1 else 75)
+        )
+        nt = t_out // p_out
+        tile = rows_blk  # conv rows per block
+        pool_arg = (p_out, wt, st, pt, wf, pf)
+        # conv rows of block j start at global row j*p_out*st - pt; the ±1
+        # conv halo makes the input window [j*p_out*st - pt - 1, +rows_blk+2)
+        front = pt + 1
+        back = (nt - 1) * p_out * st + rows_blk + 2 - (t + front)
+        xp = jnp.pad(
+            x2, ((0, 0), (front, max(back, 0)), (0, 0)), mode="reflect"
+        )
+        xtiles = jnp.stack(
+            [xp[:, j * p_out * st : j * p_out * st + rows_blk + 2]
+             for j in range(nt)], axis=1,
+        ).reshape(b, nt, rows_blk + 2, fbn, g * cin)
+        out_block = (1, p_out, fbn, (g // 2) * cout)
+        out_shape = (b, t_out, fbn, (g // 2) * cout)
+    else:
+        nt = t // tile
+        xp = jnp.concatenate([x2[:, 1:2], x2, x2[:, t - 2 : t - 1]], axis=1)
+        xtiles = jnp.stack(
+            [xp[:, j * tile : j * tile + tile + 2] for j in range(nt)], axis=1
+        ).reshape(b, nt, tile + 2, fbn, g * cin)
+        out_block = (1, tile, fbn, n)
+        out_shape = (b, t, fbn, n)
 
     out = pl.pallas_call(
         functools.partial(
             _conv_kernel, tile=tile, fb=fbn, g=g, cin=cin,
             cout=cout, res_mode=res_mode, mxu_dtype=mxu_dtype,
+            pool=pool_arg, t_valid=t,
         ),
         grid=(b, nt),
         in_specs=[
-            pl.BlockSpec((1, 1, tile + 2, fbn, g * cin),
+            pl.BlockSpec((1, 1, xtiles.shape[2], fbn, g * cin),
                          lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, (g + 2) * cin, n), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -195,9 +252,11 @@ def fused_conv_block(
             pl.BlockSpec((1, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile, fbn, n), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+            out_block, lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, t, fbn, n), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
         interpret=jax.default_backend() != "tpu",
     )(xtiles, wbig, scale_l, bias_l, resw, rs_l, rb_l)
+    if pool is not None:
+        return out.reshape(b, out_shape[1], f // 2, cout)
     return out.reshape(b, t, f, cout)

@@ -1,0 +1,163 @@
+"""Fused Pallas max-pool for the music-encoder's three pool stages.
+
+The reference pools with 5x5/3x3 windows and freq stride 2 after each conv
+stage (`Contrastive_Stage/models/MusicEncoder.py:30-53`); XLA lowers these
+`reduce_window`s without exploiting separability or the lane layout, and at
+the encoder's full-resolution shapes they cost ~24 ms of the 49 ms fused
+forward (batch 32, 60 s) — ~13x off the HBM speed-of-light for what is a
+pure streaming max.
+
+The kernel reuses the freq-blocked lane layout of `pallas_conv.py`: blocks
+are (rows, FB, G*C) with G = 128 // C so the lane dimension is exactly full.
+
+- time pooling is sublane slicing: stride 1 takes `wt` shifted row-slices
+  and folds them with `maximum`; stride 3 (stage 2's 90->30 Hz pool) pads
+  the row count to a multiple of 3 and reshapes the *leading* dim to
+  (P+2, 3, ...) so each of the five window taps is a contiguous row slice.
+  The T halo is pre-stacked by the caller as overlapping windows padded
+  with -inf at the clip edges (`nn.max_pool` pads with -inf).
+- freq pooling + stride-2 compression slices every tap straight out of the
+  natively-tiled (..., 128) operand at C-lane granularity; only the two
+  block-boundary columns come from FB-axis rolls, -inf masked at the
+  spectrum edges.  Output columns per block halve to (G/2)*C lanes; the
+  consumer's next-stage stacking reshape relayouts anyway.
+
+`_time_pool` / `_freq_pool_compress` are shared with the conv kernel's
+pool epilogue (`pallas_conv.py` fuses this pool into the last conv block
+of each encoder stage).  Parity vs `flax.linen.max_pool` is pinned in
+`tests/test_pallas_pool.py`; kernels run interpret-mode off-TPU (same code
+path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _time_pool(xb: jnp.ndarray, p: int, wt: int, st: int) -> jnp.ndarray:
+    """(rows, FB, N) -> (P, FB, N) max over the time window.
+
+    Stride 1 expects rows >= p + wt - 1; stride 3 expects rows = 3*(p+2)
+    (caller pads the tail with -inf)."""
+    if st == 1:
+        t = xb[0:p]
+        for dt in range(1, wt):
+            t = jnp.maximum(t, xb[dt : dt + p])
+        return t
+    z3 = xb.reshape(p + 2, 3, *xb.shape[1:])
+    t = None
+    for dt in range(wt):
+        a, s = divmod(dt, 3)
+        tap = z3[a : a + p, s]
+        t = tap if t is None else jnp.maximum(t, tap)
+    return t
+
+
+def _freq_pool_compress(
+    t: jnp.ndarray, g: int, c: int, wf: int, pf: int, neg: float
+) -> jnp.ndarray:
+    """(P, FB, G*C) -> (P, FB, (G/2)*C) max over the freq window with
+    stride 2; -inf outside the spectrum."""
+    p, fb, _ = t.shape
+    blk = jax.lax.broadcasted_iota(jnp.int32, (p, fb, pf * c), 1)
+    prev_cols = jnp.roll(t, 1, axis=1)[..., (g - pf) * c :]
+    prev_cols = jnp.where(blk == 0, neg, prev_cols)
+    next_cols = jnp.roll(t, -1, axis=1)[..., : pf * c]
+    next_cols = jnp.where(blk == fb - 1, neg, next_cols)
+    outs = []
+    for k in range(g // 2):
+        taps = []
+        for df in range(wf):
+            q = 2 * k - pf + df
+            if q < 0:
+                taps.append(prev_cols[..., (q + pf) * c : (q + pf + 1) * c])
+            elif q >= g:
+                taps.append(next_cols[..., (q - g) * c : (q - g + 1) * c])
+            else:
+                taps.append(t[..., q * c : (q + 1) * c])
+        outs.append(functools.reduce(jnp.maximum, taps))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _pool_kernel(
+    x_ref, o_ref, *, p: int, fb: int, g: int, c: int,
+    wt: int, st: int, wf: int, pf: int, neg: float,
+):
+    t = _time_pool(x_ref[0, 0], p, wt, st)
+    o_ref[0] = _freq_pool_compress(t, g, c, wf, pf, neg)
+
+
+def pool_geometry(t: int, window, strides, padding, tile: int):
+    """Shared with the conv epilogue: output length, tile P, block row count
+    (stride-3 blocks are padded to 3*(P+2) rows for the reshape trick)."""
+    wt, _ = window
+    st, _ = strides
+    (pt0, pt1), _ = padding
+    t_out = (t + pt0 + pt1 - wt) // st + 1
+    p = tile
+    while t_out % p:
+        p //= 2
+    rows_in = p * st + wt - st
+    rows_blk = rows_in if st == 1 else 3 * (p + 2)
+    return t_out, p, rows_blk
+
+
+def fused_max_pool(
+    x: jnp.ndarray,          # (B, T, F, C)
+    window: tuple[int, int],
+    strides: tuple[int, int],
+    padding: tuple[tuple[int, int], tuple[int, int]],
+    *,
+    tile: int = 150,
+) -> jnp.ndarray:
+    """`nn.max_pool(x, window, strides, padding)` for the encoder's pool
+    family: freq stride 2 with symmetric padding, time stride in {1, 3},
+    C in {16, 32} (lane blocking G = 128 // C must divide F)."""
+    b, t, f, c = x.shape
+    wt, wf = window
+    st, sf = strides
+    (pt0, pt1), (pf0, pf1) = padding
+    assert sf == 2 and pf0 == pf1 and wf == 2 * pf0 + 1, (window, strides, padding)
+    assert st in (1, 3) and pt0 == pt1 and wt >= st, (window, strides, padding)
+    g = 128 // c
+    assert f % g == 0 and g % 2 == 0, (f, g)
+    fb = f // g
+    t_out, p, rows_blk = pool_geometry(t, window, strides, padding, tile)
+    nt = t_out // p
+
+    neg = float(jnp.finfo(x.dtype).min)
+    x2 = x.reshape(b, t, fb, g * c)
+    front = pt0
+    back = (nt - 1) * p * st + rows_blk - (t + front)
+    xp = jnp.pad(
+        x2, ((0, 0), (front, max(back, 0)), (0, 0), (0, 0)),
+        constant_values=neg,
+    )
+    xtiles = jnp.stack(
+        [xp[:, j * p * st : j * p * st + rows_blk] for j in range(nt)], axis=1
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _pool_kernel, p=p, fb=fb, g=g, c=c,
+            wt=wt, st=st, wf=wf, pf=pf0, neg=neg,
+        ),
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, rows_blk, fb, g * c),
+                         lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, p, fb, (g // 2) * c), lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t_out, fb, (g // 2) * c), x.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(xtiles)
+    return out.reshape(b, t_out, f // 2, c)
