@@ -86,7 +86,13 @@ class DDPMTrainer:
     def __init__(self, cfg: Config):
         self.cfg = cfg
         self.model = make_denoiser(cfg)
-        self.feat_model = MotionEncoderSTGCN()
+        # the frozen perceptual-loss ST-GCN follows the training compute
+        # dtype: its matmuls sit on the step's serial critical path
+        # (denoiser fwd -> feat fwd -> feat bwd -> denoiser bwd) and the
+        # loss term is weighted 1e-6 (`ddpm_trainer.py:244-246`)
+        self.feat_model = MotionEncoderSTGCN(
+            dtype=jnp.dtype(cfg.denoiser.compute_dtype)
+        )
         self.sched = make_schedule(cfg.diffusion.schedule, cfg.diffusion.steps)
         self.mean_type = MeanType(cfg.diffusion.mean_type)
         self.var_type = VarType(cfg.diffusion.var_type)
@@ -193,14 +199,14 @@ class DDPMTrainer:
 
         # frozen ST-GCN latent L1 (`ddpm_trainer.py:228-238`)
         J = self.cfg.dataset.n_joints
+        # plain __call__ == features()[-1] (the final 64-d latent) without
+        # materializing the 11 intermediate flattened maps
         feat_fake = self.feat_model.apply(
-            state.feat_variables, pred.reshape(B, T, J, 2),
-            method=self.feat_model.features,
-        )[-1]
+            state.feat_variables, pred.reshape(B, T, J, 2)
+        )
         feat_real = self.feat_model.apply(
-            state.feat_variables, target.reshape(B, T, J, 2),
-            method=self.feat_model.features,
-        )[-1]
+            state.feat_variables, target.reshape(B, T, J, 2)
+        )
         loss_feat = jnp.abs(feat_fake - feat_real).mean()
 
         loss_elbow = jnp.clip(
