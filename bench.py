@@ -60,11 +60,14 @@ def main() -> None:
     out.block_until_ready()
     assert out.shape == (B, T30, cfg.dataset.pose_dim)
 
+    # NOTE: timing ends with a host readback of the result — on the
+    # tunneled TPU backend `block_until_ready` alone can report before
+    # device execution finishes (see .claude/skills/verify/SKILL.md).
     times = []
     for i in range(3):
         t0 = time.perf_counter()
         out = generate(state, mel, jax.random.fold_in(rng, i))
-        out.block_until_ready()
+        float(out[0, 0, 0])
         times.append(time.perf_counter() - t0)
     best = min(times)
 

@@ -58,11 +58,30 @@ class Generator(nn.Module):
         self.up4 = nn.ConvTranspose(64, (6,), strides=(2,), padding="SAME", dtype=self.dtype)
         self.noise_bn = nn.BatchNorm(dtype=self.dtype)
 
-    def _hidden(self, mel: jnp.ndarray, noise: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def encode_music(self, mel: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """The music branch alone — when the encoder is frozen
+        (`M2SGAN_train.py:61-64`) its output is step-invariant, so the GAN
+        trainer hoists this single forward out of the fake/generator-loss
+        pair of calls."""
         hx = self.music_encoder(mel, train=False if self.freeze_music_encoder else train)
         if self.freeze_music_encoder:
-            # transferred from M2SNet and frozen (`M2SGAN_train.py:61-64`)
             hx = jax.lax.stop_gradient(hx)
+        return hx
+
+    def decode(self, hx: jnp.ndarray, noise: jnp.ndarray, train: bool = False):
+        """Noise path + TCN decode given precomputed music features
+        (B, T30, 64)."""
+        h = nn.relu(self.up1(noise))
+        h = nn.relu(self.up2(h))
+        h = nn.relu(self.up3(h))
+        h = nn.relu(self.up4(h))
+        h = self.noise_bn(h, use_running_average=not train)
+        y = self.decoder(jnp.concatenate([hx, h], axis=-1), train)
+        B, T, _ = y.shape
+        return y.reshape(B, T, self.n_joints, 2)
+
+    def _hidden(self, mel: jnp.ndarray, noise: jnp.ndarray, train: bool) -> jnp.ndarray:
+        hx = self.encode_music(mel, train)
         h = nn.relu(self.up1(noise))
         h = nn.relu(self.up2(h))
         h = nn.relu(self.up3(h))

@@ -58,12 +58,14 @@ class M2SGANTrainer:
         w_gp: float = 10.0,
         noise_dim: int = 8,
         gp_terms: tuple[str, ...] = ("real_fake",),
+        music_encoder_impl: str = "flax",  # "flax" | "pallas" (fused bf16)
     ):
         self.sample_length = sample_length
         self.critic_iters = critic_iters
         self.w_adv, self.w_sync, self.w_mse, self.w_gp = w_adv, w_sync, w_mse, w_gp
         self.noise_dim = noise_dim
         self.gp_terms = gp_terms
+        self.music_encoder_impl = music_encoder_impl
         self.G = Generator(freeze_music_encoder=True)
         self.D = Discriminator1DCNN()
         self.sync_encoder = MotionEncoderSTGCN()
@@ -122,6 +124,24 @@ class M2SGANTrainer:
             real, fake, rng, terms=self.gp_terms,
         )
 
+    def _music_features(self, g_vars, mel):
+        """One frozen-encoder forward per step, shared by the fake pass and
+        the generator-loss pass (the encoder is transferred + frozen,
+        `M2SGAN_train.py:61-64`, so its output is identical in both).  The
+        optional Pallas path runs the fused bf16 conv kernels — legal
+        because the branch is inference-only."""
+        if self.music_encoder_impl == "pallas":
+            from ..models.music_encoder import FusedMusicEncoder
+
+            enc = FusedMusicEncoder({
+                "params": g_vars["params"]["music_encoder"],
+                "batch_stats": g_vars["batch_stats"]["music_encoder"],
+            })
+            return jax.lax.stop_gradient(enc(mel))
+        return jax.lax.stop_gradient(
+            self.G.apply(g_vars, mel, method=self.G.encode_music)
+        )
+
     def _train_step_impl(self, state: GANState, batch, rng: jax.Array):
         mel, real = batch
         B = real.shape[0]
@@ -131,8 +151,9 @@ class M2SGANTrainer:
 
         # one fake, reused for all critic iterations (`M2SGAN_train.py:85-103`)
         g_vars = {"params": state.g_params, "batch_stats": state.g_batch_stats}
+        hx = self._music_features(g_vars, mel)
         fake_detached = jax.lax.stop_gradient(
-            self.G.apply(g_vars, mel, noise, False)
+            self.G.apply(g_vars, hx, noise, False, method=self.G.decode)
         )
 
         # ---- critic: `critic_iters` updates -------------------------------
@@ -160,7 +181,8 @@ class M2SGANTrainer:
         def g_loss_fn(g_params):
             out, mut = self.G.apply(
                 {"params": g_params, "batch_stats": state.g_batch_stats},
-                mel, noise, True, mutable=["batch_stats"],
+                hx, noise, True, mutable=["batch_stats"],
+                method=self.G.decode,
             )
             adv = -self.D.apply({"params": d_params}, out).mean()
             sync = self._sync_loss(state.sync_variables, out, real)
