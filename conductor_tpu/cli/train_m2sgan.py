@@ -40,6 +40,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--evaluate_epoch", type=int, default=10)
     p.add_argument("--limit_hours", type=float, default=None)
     p.add_argument("--seed", type=int, default=19990319)
+    p.add_argument("--music_encoder_impl", default="flax", choices=["flax", "pallas"],
+                   help="frozen music-encoder path: flax f32 or fused bf16 kernels")
+    p.add_argument("--sync_encoder_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="frozen SyncLoss ST-GCN compute dtype")
     return p
 
 
@@ -51,6 +56,8 @@ def main(argv=None) -> None:
     trainer = M2SGANTrainer(
         sample_length=args.sample_length, lr=args.lr, critic_iters=args.critic_iters,
         w_adv=args.w_adv, w_sync=args.w_sync, w_mse=args.w_mse, w_gp=args.w_gp,
+        music_encoder_impl=args.music_encoder_impl,
+        sync_encoder_dtype=args.sync_encoder_dtype,
     )
     rng = jax.random.PRNGKey(args.seed)
 

@@ -59,6 +59,7 @@ class M2SGANTrainer:
         noise_dim: int = 8,
         gp_terms: tuple[str, ...] = ("real_fake",),
         music_encoder_impl: str = "flax",  # "flax" | "pallas" (fused bf16)
+        sync_encoder_dtype: str = "float32",  # frozen SyncLoss ST-GCN dtype
     ):
         self.sample_length = sample_length
         self.critic_iters = critic_iters
@@ -68,7 +69,10 @@ class M2SGANTrainer:
         self.music_encoder_impl = music_encoder_impl
         self.G = Generator(freeze_music_encoder=True)
         self.D = Discriminator1DCNN()
-        self.sync_encoder = MotionEncoderSTGCN()
+        # frozen perceptual net: like the stage-2 feature loss, its matmuls
+        # sit on the generator-step critical path, so bf16 is offered as an
+        # opt-in (f32 default keeps reference-exact numerics)
+        self.sync_encoder = MotionEncoderSTGCN(dtype=jnp.dtype(sync_encoder_dtype))
         self.g_tx = optax.rmsprop(lr, decay=0.99, eps=1e-8)
         self.d_tx = optax.rmsprop(lr, decay=0.99, eps=1e-8)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))

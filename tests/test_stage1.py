@@ -133,3 +133,23 @@ class TestM2SGANTrainer:
         mel = jax.random.uniform(rng, (1, 540, 128))
         out = trainer.generate(state, mel, rng)
         assert out.shape == (1, 180, 13, 2)
+
+    def test_fused_encoder_and_bf16_sync_step(self, rng):
+        """The opt-in fast paths (fused bf16 frozen encoder + bf16 SyncLoss
+        ST-GCN) run a finite step that tracks the exact path closely."""
+        mel = jax.random.uniform(rng, (2, 6 * 90, 128))
+        real = jax.random.uniform(jax.random.fold_in(rng, 1), (2, 180, 13, 2))
+
+        ref = M2SGANTrainer(sample_length=6, critic_iters=2)
+        fast = M2SGANTrainer(
+            sample_length=6, critic_iters=2,
+            music_encoder_impl="pallas", sync_encoder_dtype="bfloat16",
+        )
+        s_ref = ref.init_state(rng)
+        s_fast = fast.init_state(rng)
+        s_ref, m_ref = ref.train_step(s_ref, (mel, real), rng)
+        s_fast, m_fast = fast.train_step(s_fast, (mel, real), rng)
+        for k in m_ref:
+            assert np.isfinite(float(m_fast[k])), k
+        # same init, same data: the adversarial losses should be close
+        assert abs(float(m_ref["w_distance"]) - float(m_fast["w_distance"])) < 0.05
