@@ -58,6 +58,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_heads", type=int, default=8)
     p.add_argument("--no_eff", action="store_true", help="quadratic attention fallback")
     p.add_argument("--schedule", default="linear", choices=["linear", "cosine"])
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="activation/matmul dtype (params stay f32)")
+    p.add_argument("--train_layer_impl", default="flax",
+                   choices=["flax", "pallas_fused"],
+                   help="fused whole-layer training kernels (fwd + custom_vjp "
+                        "bwd, ops/pallas_layer_bwd.py); ~2x the denoiser "
+                        "fwd+bwd, requires dropout 0 / efficient attention / "
+                        "no --replicate_reference_mask")
     p.add_argument("--cached_features", action="store_true",
                    help="precompute frozen music-encoder features once and "
                         "train from the cache (numerically identical, ~2x step)")
@@ -82,6 +91,8 @@ def main(argv=None) -> None:
             latent_dim=args.latent_dim, ff_size=args.ff_size,
             num_layers=args.num_layers, num_heads=args.num_heads,
             efficient_attention=not args.no_eff,
+            compute_dtype=args.compute_dtype,
+            train_layer_impl=args.train_layer_impl,
         ),
         diffusion=DiffusionConfig(steps=args.diffusion_steps, schedule=args.schedule),
         train=TrainConfig(

@@ -65,8 +65,11 @@ class DenoiserConfig:
                                       # (params stay float32; MXU is 2x at bf16)
     adaln_mode: str = "sliced"        # "sliced" | "batched" AdaLN application (perf knob)
     layer_impl: str = "flax"          # "flax" | "pallas_fused" — sampling-path layer impl
-                                      # (fused whole-layer kernel, ops/pallas_layer.py;
-                                      # inference-only, training always uses flax)
+                                      # (fused whole-layer kernel, ops/pallas_layer.py)
+    train_layer_impl: str = "flax"    # "flax" | "pallas_fused" — training-path layer impl
+                                      # (fused fwd + custom_vjp bwd kernels,
+                                      # ops/pallas_layer_bwd.py; requires dropout=0,
+                                      # efficient attention, full src_mask)
     music_encoder_impl: str = "flax"  # "flax" | "pallas" — frozen-encoder impl for
                                       # generation/eval (fused conv kernels,
                                       # ops/pallas_conv.py; <2% feature drift at bf16)

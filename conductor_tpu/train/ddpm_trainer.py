@@ -96,6 +96,13 @@ class DDPMTrainer:
         self.sched = make_schedule(cfg.diffusion.schedule, cfg.diffusion.steps)
         self.mean_type = MeanType(cfg.diffusion.mean_type)
         self.var_type = VarType(cfg.diffusion.var_type)
+        if cfg.denoiser.train_layer_impl == "pallas_fused":
+            assert cfg.denoiser.efficient_attention, \
+                "fused training layers implement linear attention only"
+            assert cfg.denoiser.dropout == 0.0, \
+                "fused training layers require dropout 0 (the default)"
+            assert not cfg.train.replicate_reference_mask, \
+                "fused training layers assume the full (fixed) src_mask"
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.train.grad_clip),
             optax.adam(cfg.train.lr),
@@ -180,10 +187,20 @@ class DDPMTrainer:
             cur_len = jnp.full_like(m_lens, T)
         src_mask = generate_src_mask(T, cur_len)
 
-        def model_fn(x, tt):
-            return self.model.apply(
-                variables, x, tt, xf_proj, xf_out, src_mask, True
-            )
+        if self.cfg.denoiser.train_layer_impl == "pallas_fused":
+            # whole-layer fused fwd + custom_vjp bwd kernels
+            # (ops/pallas_layer_bwd.py); __init__ validated the gating
+            from .fused_denoiser import fused_train_denoise
+
+            def model_fn(x, tt):
+                return fused_train_denoise(
+                    params, self.cfg, x, tt, xf_proj, xf_out
+                )
+        else:
+            def model_fn(x, tt):
+                return self.model.apply(
+                    variables, x, tt, xf_proj, xf_out, src_mask, True
+                )
 
         noise = jax.random.normal(noise_rng, (B, T, motion.shape[2] * motion.shape[3]))
         terms = training_losses(
@@ -200,14 +217,19 @@ class DDPMTrainer:
         # frozen ST-GCN latent L1 (`ddpm_trainer.py:228-238`)
         J = self.cfg.dataset.n_joints
         # plain __call__ == features()[-1] (the final 64-d latent) without
-        # materializing the 11 intermediate flattened maps
-        feat_fake = self.feat_model.apply(
-            state.feat_variables, pred.reshape(B, T, J, 2)
-        )
-        feat_real = self.feat_model.apply(
-            state.feat_variables, target.reshape(B, T, J, 2)
-        )
-        loss_feat = jnp.abs(feat_fake - feat_real).mean()
+        # materializing the 11 intermediate flattened maps; skipped entirely
+        # at weight 0 (the reference always computes it, `ddpm_trainer.py:236`,
+        # but its default weight is 1e-6)
+        if tcfg.lambda_feat != 0.0:
+            feat_fake = self.feat_model.apply(
+                state.feat_variables, pred.reshape(B, T, J, 2)
+            )
+            feat_real = self.feat_model.apply(
+                state.feat_variables, target.reshape(B, T, J, 2)
+            )
+            loss_feat = jnp.abs(feat_fake - feat_real).mean()
+        else:
+            loss_feat = jnp.zeros(())
 
         loss_elbow = jnp.clip(
             terms["velocity_elbow"], -tcfg.elbow_clamp, tcfg.elbow_clamp

@@ -195,3 +195,73 @@ class FusedDenoiser:
         timesteps = jnp.arange(sched.num_timesteps - 1, -1, -1, dtype=jnp.int32)
         x, _ = jax.lax.scan(body, x, timesteps)
         return x[:, :, :C]
+
+
+def _ln(x, scale, bias, eps=1e-6):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def cross_kv_state(ca_params, xf_o: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """`LinearCrossAttention.kv_state` (transformer.py) in plain jnp from the
+    flax param subtree — differentiable w.r.t. norm_xf/key/value params.
+    Returns the (B, D, D) block-diagonal state the fused kernels consume."""
+    fn = _ln(xf_o, ca_params["norm_xf"]["scale"], ca_params["norm_xf"]["bias"])
+    k = fn @ ca_params["key"]["kernel"] + ca_params["key"]["bias"]
+    v = fn @ ca_params["value"]["kernel"] + ca_params["value"]["bias"]
+    b, n, d = k.shape
+    h = num_heads
+    kh = jax.nn.softmax(k.reshape(b, n, h, d // h).astype(jnp.float32), axis=1)
+    vh = v.reshape(b, n, h, d // h).astype(jnp.float32)
+    return expand_block_diag(jnp.einsum("bnhd,bnhl->bhdl", kh, vh))
+
+
+def fused_train_denoise(
+    params, cfg: Config, x: jnp.ndarray, t: jnp.ndarray,
+    xf_proj: jnp.ndarray, xf_out: jnp.ndarray,
+) -> jnp.ndarray:
+    """Differentiable denoiser forward over the fused training layers
+    (`ops/pallas_layer_bwd.fused_decoder_layer_train`): the whole-layer
+    kernels with a hand-written backward kernel replace the composable flax
+    decoder stack.  Mirrors `MotionTransformer.__call__` for the framework
+    default configuration (efficient attention, dropout 0, full mask —
+    `DDPMTrainer` gates on these).  Gradients flow into the SAME flax param
+    tree through the packing (stack/pad/slice are linear).
+
+    Step-level loss/grad parity with the flax path is pinned in
+    `tests/test_fused_train_path.py`.
+    """
+    d = cfg.denoiser
+    mxu_dtype = jnp.dtype(d.compute_dtype)
+    p = params
+    B, T = x.shape[0], x.shape[1]
+    if x.ndim == 4:
+        x = x.reshape(B, T, -1)
+
+    # conditioning constants (precompute_cond analogue, differentiable)
+    emb_base = xf_proj @ p["music_linear"]["kernel"] + p["music_linear"]["bias"]
+    xf_o = xf_out @ p["music_linear"]["kernel"] + p["music_linear"]["bias"]
+
+    temb = timestep_embedding(t, d.latent_dim)
+    temb = (
+        nn.silu(temb @ p["time_embed_1"]["kernel"] + p["time_embed_1"]["bias"])
+        @ p["time_embed_2"]["kernel"] + p["time_embed_2"]["bias"]
+    )
+    emb_act = nn.silu(temb[:, None, :] + emb_base).astype(mxu_dtype)
+
+    h = (
+        x @ p["joint_embed"]["kernel"] + p["joint_embed"]["bias"]
+        + p["sequence_embedding"][None, :T]
+    ).astype(mxu_dtype)
+    from ..ops.pallas_layer_bwd import fused_decoder_layer_train
+
+    for i in range(d.num_layers):
+        mats, vecs, aw, ab = pack_layer_weights(params, i, cfg)
+        kvb = cross_kv_state(
+            p[f"blocks_{i}"]["cross_attn"], xf_o, d.num_heads
+        ).astype(mxu_dtype)
+        h = fused_decoder_layer_train(
+            h, emb_act, kvb, mats, vecs, aw, ab, d.num_heads, mxu_dtype
+        )
+    return (h.astype(jnp.float32) @ p["out"]["kernel"] + p["out"]["bias"])

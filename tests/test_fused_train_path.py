@@ -1,0 +1,71 @@
+"""Train-step parity: `train_layer_impl="pallas_fused"` vs the flax path.
+
+Same init, same batch, same rng — the fused-kernel training path must
+reproduce the flax path's loss and parameter updates to float tolerance
+(f32, interpret mode on CPU — the TPU kernel code path)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conductor_tpu.config import Config, DenoiserConfig, DiffusionConfig, TrainConfig
+from conductor_tpu.train.ddpm_trainer import DDPMTrainer
+
+
+def make_cfg(train_layer_impl):
+    return Config(
+        denoiser=DenoiserConfig(
+            num_layers=2, num_frames=64, train_layer_impl=train_layer_impl
+        ),
+        diffusion=DiffusionConfig(steps=8, schedule="cosine"),
+        train=TrainConfig(cached_features=True, sample_length=2, batch_size=2),
+    )
+
+
+def run_step(impl, rng):
+    cfg = make_cfg(impl)
+    tr = DDPMTrainer(cfg)
+    state = tr.init_state(rng)
+    B, T = 2, 60
+    mel = jax.random.normal(jax.random.fold_in(rng, 1), (B, T, 64))
+    motion = jax.random.uniform(jax.random.fold_in(rng, 2), (B, T, 13, 2))
+    batch = (mel, motion, jnp.full((B,), 60, jnp.int32))
+    state, metrics = tr.train_step(state, batch, rng)
+    return state, metrics
+
+
+def test_fused_train_step_matches_flax():
+    rng = jax.random.PRNGKey(0)
+    s_flax, m_flax = run_step("flax", rng)
+    s_fused, m_fused = run_step("pallas_fused", rng)
+
+    assert np.isfinite(float(m_fused["loss"]))
+    np.testing.assert_allclose(
+        float(m_fused["loss"]), float(m_flax["loss"]), rtol=1e-4
+    )
+    # parameter updates must match leaf-by-leaf
+    flat_a = jax.tree_util.tree_leaves_with_path(s_flax.params)
+    flat_b = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(s_fused.params)
+    )
+    for key, a in flat_a:
+        b = flat_b[jax.tree_util.keystr(key)]
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-5, rtol=5e-3,
+            err_msg=jax.tree_util.keystr(key),
+        )
+
+
+def test_fused_train_step_gating():
+    with pytest.raises(AssertionError):
+        DDPMTrainer(
+            Config(
+                denoiser=DenoiserConfig(
+                    train_layer_impl="pallas_fused", dropout=0.1
+                )
+            )
+        )
