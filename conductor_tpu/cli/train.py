@@ -84,6 +84,22 @@ def main(argv=None) -> None:
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
+    # preemption-safe shutdown: SIGTERM/SIGINT request a checkpoint at the
+    # next step boundary instead of killing mid-write (the reference's only
+    # recovery is manual --is_continue from whatever latest.tar survived,
+    # `trainers/ddpm_trainer.py:328-330`).  Installed before the (slow)
+    # compile/cache setup so early preemption is also caught.
+    import signal
+
+    stop_requested = []
+
+    def _request_stop(signum, frame):
+        stop_requested.append(signum)
+
+    prev_handlers = {
+        s: signal.signal(s, _request_stop) for s in (signal.SIGTERM, signal.SIGINT)
+    }
+
     from ..config import DenoiserConfig
 
     cfg = Config(
@@ -176,9 +192,19 @@ def main(argv=None) -> None:
                     print(f"profile written to {run_dir}/profile")
                 if it % cfg.train.save_latest == 0:
                     ckpt.save(it, state)
+                if stop_requested:
+                    break
+            if stop_requested:
+                ckpt.save(it, state, wait=True)
+                print(f"stop requested (signal {stop_requested[0]}): saved "
+                      f"step {it}; resume with --continue")
+                break
             if epoch % cfg.train.save_every_e == 0:
                 ckpt.save(it, state, wait=True)
-        ckpt.save(it, state, wait=True)
+        else:
+            ckpt.save(it, state, wait=True)
+    for s, h in prev_handlers.items():
+        signal.signal(s, h)
     logger.close()
     print(f"done: {it} steps; checkpoints in {run_dir}/ckpt")
 

@@ -60,9 +60,12 @@ class GraphConv(nn.Module):
 
 
 class TemporalConv(nn.Module):
-    """kt x 1 temporal conv, per-joint, as block-diagonal shifted matmuls over
-    the merged (V·C) lane axis: y[t,(v,c')] = sum_{dt,c} x[t+dt,(v,c)]·W[dt,c,c'].
-    13x the conv's flops, but full MXU lanes instead of N=32 — ~7x faster."""
+    """kt x 1 temporal conv, per-joint, as shifted matmuls over joint-blocked
+    lanes: joints are padded V -> ceil(V/G)*G with G = 128//C joints per
+    128-lane block, and each time shift contracts with kron(eye(G), W[dt])
+    (128x128).  Full MXU lanes at only G x the conv's flops — 4x fewer than
+    the old whole-(V*C) block-diagonal form (which inflated 13x and padded
+    416 -> 512 lanes on top)."""
 
     features: int
     kernel_size: int = 3
@@ -77,19 +80,23 @@ class TemporalConv(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (kt, Cin, C)
         )
         bias = self.param("bias", nn.initializers.zeros, (C,))
-        eye = jnp.eye(V, dtype=kernel.dtype)
-        Wb = jnp.einsum("tcd,vw->tvcwd", kernel, eye).reshape(kt, V * Cin, V * C)
+        g = max(128 // max(Cin, C), 1)
+        vp = -(-V // g) * g  # joints padded to a multiple of the block
+        eye = jnp.eye(g, dtype=kernel.dtype)
+        Wb = jnp.einsum("tcd,vw->tvcwd", kernel, eye).reshape(
+            kt, g * Cin, g * C
+        )
 
         pad = (kt - 1) // 2
         xf = jnp.pad(
-            x.reshape(B, T, V * Cin), ((0, 0), (pad, pad), (0, 0))
-        ).astype(self.dtype)
+            x, ((0, 0), (pad, pad), (0, vp - V), (0, 0))
+        ).reshape(B, T + 2 * pad, vp // g, g * Cin).astype(self.dtype)
         t_out = (T - 1) // self.stride + 1
         y = 0.0
         for dt in range(kt):
             xs = xf[:, dt : dt + T : self.stride][:, :t_out]
             y = y + xs @ Wb[dt].astype(self.dtype)
-        y = y.reshape(B, t_out, V, C) + bias
+        y = y.reshape(B, t_out, vp, C)[:, :, :V] + bias
         return y
 
 

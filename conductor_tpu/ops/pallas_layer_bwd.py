@@ -39,6 +39,7 @@ F32 = jnp.float32
 
 
 def _ln_fwd(x, g, b):
+    x = x.astype(jnp.float32)
     mu = jnp.mean(x, axis=-1, keepdims=True)
     xc = x - mu
     r = jax.lax.rsqrt(jnp.mean(xc * xc, axis=-1, keepdims=True) + 1e-6)
@@ -86,10 +87,14 @@ def _layer_bwd_kernel(
         daw_ref[...] = jnp.zeros(daw_ref.shape, daw_ref.dtype)
         dab_ref[...] = jnp.zeros(dab_ref.shape, dab_ref.dtype)
 
-    x0 = x_ref[0].astype(F32)
-    emb = emb_ref[0].astype(F32)   # silu-activated emb (Tp, E)
-    kvc = kvc_ref[0].astype(F32)
-    dy = dy_ref[0].astype(F32)
+    # inputs stay in their storage dtype — every consumer either feeds an
+    # MXU operand (cast to mxu_dtype inside md/_dots) or casts f32 locally
+    # (_ln_fwd, styl_bwd).  Persistent f32 copies cost ~0.5-2MB each of a
+    # 16MB scoped-VMEM budget this kernel runs right at the edge of.
+    x0 = x_ref[0]
+    emb = emb_ref[0]
+    kvc = kvc_ref[0]
+    dy = dy_ref[0]
     tp, d = x0.shape
 
     v_ = lambda i_: vecs_ref[i_].astype(F32)
@@ -104,7 +109,9 @@ def _layer_bwd_kernel(
     seg_i = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0) // head_dim
     seg_j = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1) // head_dim
     seg = (seg_i == seg_j).astype(F32)
-    row = jax.lax.broadcasted_iota(jnp.int32, (tp, d), 0)
+    # (Tp, 1) column masks broadcast against (Tp, D) operands — a (Tp, D)
+    # materialization is ~0.5MB each of a tight scoped-VMEM budget
+    row = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
     valid = (row < t_valid).astype(F32)
 
     def mod_slice(k):
@@ -138,6 +145,7 @@ def _layer_bwd_kernel(
     def styl_bwd(do, y, mod, gi, bi, wi, boi):
         """Recompute the block from (y, mod), return (dy, dmod (Tp,2D));
         accumulates weight grads."""
+        do = do.astype(F32)
         scale, shift = mod[:, :d], mod[:, d:]
         ln_y, xhat, r = _ln_fwd(y, v_(gi), v_(bi))
         h = ln_y * (1.0 + scale) + shift
@@ -208,7 +216,9 @@ def _layer_bwd_kernel(
     h1 = jax.nn.gelu(z)
     y3 = md(h1, m_(7)) + v_(15)
     dy3, dmod2 = styl_bwd(dy, y3, mod_slice(4), 16, 17, 8, 18)
-    demb = mod_bwd(4, dmod2)
+    # demb accumulates straight into the output block (bf16 in training):
+    # a persistent (Tp, E) f32 accumulator is ~2MB of scoped VMEM
+    demb_ref[0] = mod_bwd(4, dmod2).astype(demb_ref.dtype)
     dvecs_ref[15] += jnp.sum(dy3, axis=0).astype(dvecs_ref.dtype)
     dmats_ref[7] += jnp.dot(
         h1.astype(mxu_dtype).T, dy3.astype(mxu_dtype), preferred_element_type=F32
@@ -230,7 +240,7 @@ def _layer_bwd_kernel(
     qcs = seg_softmax(md(xn2, m_(4)) + v_(10))
     y2 = md(qcs, kvc)
     dy2, dmod1 = styl_bwd(dx2, y2, mod_slice(2), 11, 12, 5, 13)
-    demb += mod_bwd(2, dmod1)
+    demb_ref[0] += mod_bwd(2, dmod1).astype(demb_ref.dtype)
     dkvc_ref[0] = jnp.dot(
         qcs.astype(mxu_dtype).T, dy2.astype(mxu_dtype), preferred_element_type=F32
     ).astype(dkvc_ref.dtype)
@@ -257,7 +267,7 @@ def _layer_bwd_kernel(
         ks, v, (((0,), (0,)), ((), ())), preferred_element_type=F32
     ) * seg
     dy1, dmod0 = styl_bwd(dx1, md(qs, kv), mod_slice(0), 5, 6, 3, 7)
-    demb += mod_bwd(0, dmod0)
+    demb_ref[0] += mod_bwd(0, dmod0).astype(demb_ref.dtype)
     dqs = jnp.dot(
         dy1.astype(mxu_dtype), kv.astype(mxu_dtype).T, preferred_element_type=F32
     )
@@ -283,7 +293,6 @@ def _layer_bwd_kernel(
     dx0 = dx1 + dln0
 
     dx_ref[0] = dx0.astype(dx_ref.dtype)
-    demb_ref[0] = demb.astype(demb_ref.dtype)
 
 
 def _bwd_pallas_call(x, emb_act, kv_cross, mats, vecs, adaln_w, adaln_b, dy,
@@ -332,6 +341,10 @@ def _bwd_pallas_call(x, emb_act, kv_cross, mats, vecs, adaln_w, adaln_b, dy,
             const_spec((1, 6 * d)),
         ),
         out_shape=out_shapes,
+        # whole-layer recompute peaks ~18MB of VMEM working set — above the
+        # compiler's 16MB default scoped budget (v5e has 128MB); observed to
+        # OOM context-dependently at the default
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(x, emb_act, kv_cross, mats, vecs, adaln_w, adaln_b, dy)
 

@@ -178,3 +178,35 @@ class TestCrossStageGraft:
         assert os.path.isfile(
             os.path.join(ckpts, "ConductorMotion100", "grafted", "metrics.jsonl")
         )
+
+
+class TestPreemptionSafety:
+    def test_sigterm_saves_and_exits(self, synth_root, tmp_path_factory):
+        """A SIGTERM mid-training checkpoints at the step boundary and exits
+        cleanly; --continue resumes from it."""
+        import signal
+        import threading
+
+        from conductor_tpu.cli.train import main
+
+        ckpts = str(tmp_path_factory.mktemp("ckpts_sig"))
+        argv = [
+            "--data_root", synth_root, "--name", "sig", "--checkpoints_dir",
+            ckpts, "--batch_size", "4", "--epochs", "50",
+            "--diffusion_steps", "8", "--schedule", "cosine",
+            "--sample_length", "2", "--latent_dim", "32", "--ff_size", "16",
+            "--num_layers", "2", "--num_heads", "4", "--save_latest", "1000",
+        ]
+        timer = threading.Timer(
+            8.0, lambda: os.kill(os.getpid(), signal.SIGTERM)
+        )
+        timer.start()
+        try:
+            main(argv)  # returns instead of dying once the signal lands
+        finally:
+            timer.cancel()
+        run = os.path.join(ckpts, "ConductorMotion100", "sig")
+        from conductor_tpu.train.checkpoints import CheckpointManager
+
+        step = CheckpointManager(os.path.join(run, "ckpt")).latest_step()
+        assert step is not None and step >= 1
