@@ -146,7 +146,12 @@ def fused_decoder_layer(
     adaln_b: jnp.ndarray,  # (6D,)
     num_heads: int,
     mxu_dtype: jnp.dtype = jnp.float32,
+    t_valid: int | None = None,
 ) -> jnp.ndarray:
+    """``t_valid`` lets a caller pass inputs already padded to a sublane
+    multiple (rows >= t_valid are masked out of the time softmax and the
+    pad/slice here become no-ops) — layer stacks pad ONCE instead of
+    round-tripping ~15MB per layer through pad/slice copies."""
     b, t, d = x.shape
     e = emb_act.shape[-1]
     tp = _round_up(t, 8)
@@ -155,7 +160,7 @@ def fused_decoder_layer(
 
     out = pl.pallas_call(
         functools.partial(
-            _layer_kernel, t_valid=t, head_dim=d // num_heads,
+            _layer_kernel, t_valid=t_valid or t, head_dim=d // num_heads,
             mxu_dtype=mxu_dtype,
         ),
         grid=(b,),

@@ -349,31 +349,33 @@ def _bwd_pallas_call(x, emb_act, kv_cross, mats, vecs, adaln_w, adaln_b, dy,
     )(x, emb_act, kv_cross, mats, vecs, adaln_w, adaln_b, dy)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def fused_decoder_layer_train(
     x, emb_act, kv_cross, mats, vecs, adaln_w, adaln_b,
-    num_heads: int, mxu_dtype=jnp.bfloat16,
+    num_heads: int, mxu_dtype=jnp.bfloat16, t_valid: int | None = None,
 ):
     """Differentiable fused decoder layer (packed weights, full mask).
 
     Same forward as `fused_decoder_layer`; gradients via one fused backward
-    kernel (see module docstring)."""
+    kernel (see module docstring).  Pass inputs pre-padded to a sublane
+    multiple with ``t_valid`` = the real row count so a layer STACK pads
+    once instead of pad/slice round trips in all 2*num_layers kernels."""
     return fused_decoder_layer(
         x, emb_act, kv_cross, mats, vecs, adaln_b=adaln_b, adaln_w=adaln_w,
-        num_heads=num_heads, mxu_dtype=mxu_dtype,
+        num_heads=num_heads, mxu_dtype=mxu_dtype, t_valid=t_valid,
     )
 
 
 def _train_fwd(x, emb_act, kv_cross, mats, vecs, adaln_w, adaln_b,
-               num_heads, mxu_dtype):
+               num_heads, mxu_dtype, t_valid):
     out = fused_decoder_layer_train(
         x, emb_act, kv_cross, mats, vecs, adaln_w, adaln_b,
-        num_heads, mxu_dtype,
+        num_heads, mxu_dtype, t_valid,
     )
     return out, (x, emb_act, kv_cross, mats, vecs, adaln_w, adaln_b)
 
 
-def _train_bwd(num_heads, mxu_dtype, res, dy):
+def _train_bwd(num_heads, mxu_dtype, t_valid, res, dy):
     x, emb_act, kv_cross, mats, vecs, adaln_w, adaln_b = res
     b, t, d = x.shape
     tp = _round_up(t, 8)
@@ -383,7 +385,7 @@ def _train_bwd(num_heads, mxu_dtype, res, dy):
     dyp = jnp.pad(dy, ((0, 0), (0, tp - t), (0, 0)))
     dx, demb, dkvc, dmats, dvecs, daw, dab = _bwd_pallas_call(
         xp, ep, kv_cross, mats, vecs, adaln_w, adaln_b.reshape(1, -1), dyp,
-        t_valid=t, head_dim=d // num_heads, mxu_dtype=mxu_dtype,
+        t_valid=t_valid or t, head_dim=d // num_heads, mxu_dtype=mxu_dtype,
     )
     return (
         dx[:, :t],

@@ -256,12 +256,19 @@ def fused_train_denoise(
     ).astype(mxu_dtype)
     from ..ops.pallas_layer_bwd import fused_decoder_layer_train
 
+    # pad the row dim to a sublane multiple ONCE; every layer kernel then
+    # sees aligned inputs (its internal pad/slice are no-ops) with rows
+    # >= T masked via t_valid — saves 2*num_layers pad/slice round trips
+    tp = -(-T // 8) * 8
+    h = jnp.pad(h, ((0, 0), (0, tp - T), (0, 0)))
+    emb_act = jnp.pad(emb_act, ((0, 0), (0, tp - T), (0, 0)))
     for i in range(d.num_layers):
         mats, vecs, aw, ab = pack_layer_weights(params, i, cfg)
         kvb = cross_kv_state(
             p[f"blocks_{i}"]["cross_attn"], xf_o, d.num_heads
         ).astype(mxu_dtype)
         h = fused_decoder_layer_train(
-            h, emb_act, kvb, mats, vecs, aw, ab, d.num_heads, mxu_dtype
+            h, emb_act, kvb, mats, vecs, aw, ab, d.num_heads, mxu_dtype, T
         )
+    h = h[:, :T]
     return (h.astype(jnp.float32) @ p["out"]["kernel"] + p["out"]["bias"])
