@@ -61,6 +61,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="activation/matmul dtype (params stay f32)")
+    p.add_argument("--feat_impl", default="flax", choices=["flax", "pallas"],
+                   help="perceptual-loss ST-GCN: fused frozen-encoder "
+                        "kernels (ops/pallas_stgcn.py) vs composable flax")
     p.add_argument("--train_layer_impl", default="flax",
                    choices=["flax", "pallas_fused"],
                    help="fused whole-layer training kernels (fwd + custom_vjp "
@@ -118,6 +121,7 @@ def main(argv=None) -> None:
             save_every_e=args.save_every_e, seed=args.seed,
             replicate_reference_mask=args.replicate_reference_mask,
             cached_features=args.cached_features,
+            feat_impl=args.feat_impl,
         ),
     )
     run_dir = os.path.join(args.checkpoints_dir, cfg.dataset.name, args.name)

@@ -45,6 +45,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--sync_encoder_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="frozen SyncLoss ST-GCN compute dtype")
+    p.add_argument("--sync_encoder_impl", default="flax",
+                   choices=["flax", "pallas"],
+                   help="frozen SyncLoss ST-GCN as fused whole-network "
+                        "kernels (ops/pallas_stgcn.py)")
     return p
 
 
@@ -58,6 +62,7 @@ def main(argv=None) -> None:
         w_adv=args.w_adv, w_sync=args.w_sync, w_mse=args.w_mse, w_gp=args.w_gp,
         music_encoder_impl=args.music_encoder_impl,
         sync_encoder_dtype=args.sync_encoder_dtype,
+        sync_encoder_impl=args.sync_encoder_impl,
     )
     rng = jax.random.PRNGKey(args.seed)
 

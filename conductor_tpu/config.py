@@ -119,6 +119,10 @@ class TrainConfig:
     # the batch's conditioning slot carries (B, T30, 64) features instead of
     # raw mel.  Numerically identical; skips the HBM-bound CNN every step.
     cached_features: bool = False
+    # Perceptual-loss ST-GCN implementation: "pallas" runs the frozen
+    # encoder as single fused kernels fwd+bwd (ops/pallas_stgcn.py) instead
+    # of ~60 composable-XLA HBM passes; same math (BN stats folded).
+    feat_impl: str = "flax"          # "flax" | "pallas"
     log_every: int = 5
     save_latest: int = 500
     save_every_e: int = 5

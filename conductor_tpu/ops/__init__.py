@@ -9,3 +9,4 @@ from .pallas_conv import fused_conv_block  # noqa: F401
 from .pallas_layer import fused_decoder_layer  # noqa: F401
 from .pallas_layer_bwd import fused_decoder_layer_train  # noqa: F401
 from .pallas_pool import fused_max_pool  # noqa: F401
+from .pallas_stgcn import fused_frozen_stgcn, pack_frozen_stgcn  # noqa: F401

@@ -220,7 +220,25 @@ class DDPMTrainer:
         # materializing the 11 intermediate flattened maps; skipped entirely
         # at weight 0 (the reference always computes it, `ddpm_trainer.py:236`,
         # but its default weight is 1e-6)
-        if tcfg.lambda_feat != 0.0:
+        if tcfg.lambda_feat == 0.0:
+            loss_feat = jnp.zeros(())
+        elif tcfg.feat_impl == "pallas":
+            # frozen encoder as single fused fwd/bwd kernels
+            from ..models.graph import build_adjacency
+            from ..ops.pallas_stgcn import fused_frozen_stgcn, pack_frozen_stgcn
+
+            pack = pack_frozen_stgcn(
+                state.feat_variables,
+                build_adjacency("ConductorMotionX", "uniform"),
+                mxu_dtype=jnp.dtype(self.cfg.denoiser.compute_dtype),
+            )
+            mx = jnp.dtype(self.cfg.denoiser.compute_dtype)
+            feat_fake = fused_frozen_stgcn(pred.reshape(B, T, J, 2), pack, mx)
+            feat_real = fused_frozen_stgcn(
+                jax.lax.stop_gradient(target.reshape(B, T, J, 2)), pack, mx
+            )
+            loss_feat = jnp.abs(feat_fake - feat_real).mean()
+        else:
             feat_fake = self.feat_model.apply(
                 state.feat_variables, pred.reshape(B, T, J, 2)
             )
@@ -228,8 +246,6 @@ class DDPMTrainer:
                 state.feat_variables, target.reshape(B, T, J, 2)
             )
             loss_feat = jnp.abs(feat_fake - feat_real).mean()
-        else:
-            loss_feat = jnp.zeros(())
 
         loss_elbow = jnp.clip(
             terms["velocity_elbow"], -tcfg.elbow_clamp, tcfg.elbow_clamp

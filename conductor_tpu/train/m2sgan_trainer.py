@@ -60,6 +60,7 @@ class M2SGANTrainer:
         gp_terms: tuple[str, ...] = ("real_fake",),
         music_encoder_impl: str = "flax",  # "flax" | "pallas" (fused bf16)
         sync_encoder_dtype: str = "float32",  # frozen SyncLoss ST-GCN dtype
+        sync_encoder_impl: str = "flax",   # "flax" | "pallas" (fused kernels)
     ):
         self.sample_length = sample_length
         self.critic_iters = critic_iters
@@ -67,6 +68,7 @@ class M2SGANTrainer:
         self.noise_dim = noise_dim
         self.gp_terms = gp_terms
         self.music_encoder_impl = music_encoder_impl
+        self.sync_encoder_impl = sync_encoder_impl
         self.G = Generator(freeze_music_encoder=True)
         self.D = Discriminator1DCNN()
         # frozen perceptual net: like the stage-2 feature loss, its matmuls
@@ -217,9 +219,24 @@ class M2SGANTrainer:
         )
 
     def _sync_loss(self, sync_vars, fake, real):
-        """L1 between frozen motion-encoder latents (`utils/loss.py:30-46`)."""
-        ff = self.sync_encoder.apply(sync_vars, fake, method=self.sync_encoder.features)[-1]
-        rf = self.sync_encoder.apply(sync_vars, real, method=self.sync_encoder.features)[-1]
+        """L1 between frozen motion-encoder latents (`utils/loss.py:30-46`).
+        Plain __call__ == features()[-1] without the 11 intermediate maps;
+        sync_encoder_impl='pallas' runs the whole frozen ST-GCN as fused
+        fwd/bwd kernels (`ops/pallas_stgcn.py`)."""
+        if self.sync_encoder_impl == "pallas":
+            from ..models.graph import build_adjacency
+            from ..ops.pallas_stgcn import fused_frozen_stgcn, pack_frozen_stgcn
+
+            mx = jnp.dtype(self.sync_encoder.dtype)
+            pack = pack_frozen_stgcn(
+                sync_vars, build_adjacency("ConductorMotionX", "uniform"),
+                mxu_dtype=mx,
+            )
+            ff = fused_frozen_stgcn(fake, pack, mx)
+            rf = fused_frozen_stgcn(jax.lax.stop_gradient(real), pack, mx)
+            return jnp.abs(ff - rf).mean()
+        ff = self.sync_encoder.apply(sync_vars, fake)
+        rf = self.sync_encoder.apply(sync_vars, real)
         return jnp.abs(ff - jax.lax.stop_gradient(rf)).mean()
 
     def train_step(self, state: GANState, batch, rng: jax.Array):

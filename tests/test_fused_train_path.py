@@ -95,3 +95,31 @@ def test_fused_train_step_on_mesh():
         batch = shard_batch(batch, mesh)
         state, metrics = tr.train_step(state, batch, rng)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_feat_impl_pallas_matches_flax():
+    """feat_impl='pallas' (fused frozen ST-GCN kernels) reproduces the flax
+    perceptual loss within float tolerance at the step level."""
+    import dataclasses
+
+    rng = jax.random.PRNGKey(5)
+
+    def step(feat_impl):
+        cfg = make_cfg("flax")
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, feat_impl=feat_impl))
+        tr = DDPMTrainer(cfg)
+        state = tr.init_state(rng)
+        B, T = 2, 60
+        mel = jax.random.normal(jax.random.fold_in(rng, 1), (B, T, 64))
+        motion = jax.random.uniform(jax.random.fold_in(rng, 2), (B, T, 13, 2))
+        batch = (mel, motion, jnp.full((B,), 60, jnp.int32))
+        return tr.train_step(state, batch, rng)
+
+    s_flax, m_flax = step("flax")
+    s_pl, m_pl = step("pallas")
+    np.testing.assert_allclose(
+        float(m_pl["loss_mot_feat"]), float(m_flax["loss_mot_feat"]), rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        float(m_pl["loss"]), float(m_flax["loss"]), rtol=1e-4
+    )

@@ -144,6 +144,7 @@ class TestM2SGANTrainer:
         fast = M2SGANTrainer(
             sample_length=6, critic_iters=2,
             music_encoder_impl="pallas", sync_encoder_dtype="bfloat16",
+            sync_encoder_impl="pallas",
         )
         s_ref = ref.init_state(rng)
         s_fast = fast.init_state(rng)
