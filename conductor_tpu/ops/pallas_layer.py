@@ -57,15 +57,17 @@ def _ln(x, g, b):
     return (x - mu) * jax.lax.rsqrt(var + 1e-6) * g + b
 
 
-def _layer_kernel(
-    x_ref, emb_ref, kvc_ref, mats_ref, vecs_ref, aw_ref, ab_ref, o_ref,
-    *, t_valid: int, head_dim: int, mxu_dtype,
+def _layer_body(
+    x, emb, kvc, m_, v_, aw, ab, *, t_valid: int, head_dim: int, mxu_dtype
 ):
-    x = x_ref[0].astype(F32)       # (Tp, D)
-    kvc = kvc_ref[0].astype(F32)   # (D, D) block-diagonal cross KV
-    tp, d = x.shape
+    """One decoder layer on f32 values already in VMEM/registers.
 
-    v_ = lambda i: vecs_ref[i].astype(F32)
+    ``x`` (Tp, D) f32; ``emb`` (Tp, E) raw-dtype activations; ``kvc`` (D, D)
+    f32 block-diagonal cross KV; ``m_(i)``/``v_(i)`` yield the i-th weight
+    matrix (raw dtype) / vector row (f32); ``aw``/``ab`` this layer's AdaLN
+    slice.  Shared by the per-layer kernel and the whole-stack kernel.
+    """
+    tp, d = x.shape
 
     # MXU operands in mxu_dtype (bf16 doubles throughput), f32 accumulation.
     def md(a, b):
@@ -73,9 +75,6 @@ def _layer_kernel(
             a.astype(mxu_dtype), b.astype(mxu_dtype),
             preferred_element_type=F32,
         )
-
-    def m_(i):
-        return mats_ref[i]
 
     def seg_softmax_rows(q, seg):
         # feature softmax within each head segment of the lane dim (valid
@@ -93,7 +92,7 @@ def _layer_kernel(
     seg = (seg_i == seg_j).astype(F32)
 
     # this layer's AdaLN scale/shift triples: one (Tp, E) x (E, 6D) matmul
-    mod = md(emb_ref[0], aw_ref[:]) + ab_ref[0].astype(F32)
+    mod = md(emb, aw) + ab.astype(F32)
 
     # ---------------------------------------------------- self attention
     xn = _ln(x, v_(0), v_(1))
@@ -133,7 +132,44 @@ def _layer_kernel(
         y3, mod[:, 4 * d : 5 * d], mod[:, 5 * d : 6 * d],
         v_(16), v_(17), m_(8), v_(18),
     )
+    return x
+
+
+def _layer_kernel(
+    x_ref, emb_ref, kvc_ref, mats_ref, vecs_ref, aw_ref, ab_ref, o_ref,
+    *, t_valid: int, head_dim: int, mxu_dtype,
+):
+    x = _layer_body(
+        x_ref[0].astype(F32), emb_ref[0], kvc_ref[0].astype(F32),
+        lambda i: mats_ref[i], lambda i: vecs_ref[i].astype(F32),
+        aw_ref[:], ab_ref[0],
+        t_valid=t_valid, head_dim=head_dim, mxu_dtype=mxu_dtype,
+    )
     o_ref[0] = x.astype(o_ref.dtype)
+
+
+def _stack_kernel(
+    x_ref, emb_ref, kvc_ref, mats_ref, vecs_ref, aw_ref, ab_ref, o_ref,
+    h_scr,
+    *, t_valid: int, head_dim: int, mxu_dtype, num_layers: int,
+):
+    layer = pl.program_id(1)
+
+    @pl.when(layer == 0)
+    def _():
+        h_scr[...] = x_ref[0].astype(F32)
+
+    x = _layer_body(
+        h_scr[...], emb_ref[0], kvc_ref[0, 0].astype(F32),
+        lambda i: mats_ref[0, i], lambda i: vecs_ref[0, i].astype(F32),
+        aw_ref[0], ab_ref[0, 0],
+        t_valid=t_valid, head_dim=head_dim, mxu_dtype=mxu_dtype,
+    )
+    h_scr[...] = x
+
+    @pl.when(layer == num_layers - 1)
+    def _():
+        o_ref[0] = x.astype(o_ref.dtype)
 
 
 def fused_decoder_layer(
@@ -184,4 +220,66 @@ def fused_decoder_layer(
         ),
         interpret=jax.default_backend() != "tpu",
     )(xp, ep, kv_cross, mats, vecs, adaln_w, adaln_b.reshape(1, -1))
+    return out[:, :t]
+
+
+def fused_decoder_stack(
+    x: jnp.ndarray,        # (B, T, D)
+    emb_act: jnp.ndarray,  # (B, T, E) = silu(time emb + music proj)
+    kv_cross: jnp.ndarray,  # (L, B, D, D) per-layer block-diagonal cross KV
+    mats: jnp.ndarray,     # (L, 9, D, D)
+    vecs: jnp.ndarray,     # (L, 24, D)
+    adaln_w: jnp.ndarray,  # (L, E, 6D)
+    adaln_b: jnp.ndarray,  # (L, 6D)
+    num_heads: int,
+    mxu_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """All ``L`` decoder layers in ONE kernel: grid ``(B, L)`` with the
+    residual stream held in an f32 VMEM scratch across the (sequential)
+    layer axis.  Versus ``L`` separate `fused_decoder_layer` calls this
+    removes the per-layer HBM round trip of the (T, D) stream and the
+    per-layer refetch of ``emb_act`` (their block indices depend only on the
+    batch coordinate, so Mosaic keeps them resident), and double-buffers
+    layer ``l+1``'s weight DMA behind layer ``l``'s compute.  The f32 carry
+    is numerically at least as close to the flax reference as the bf16 HBM
+    carry it replaces."""
+    num_layers, b = mats.shape[0], x.shape[0]
+    t, d = x.shape[1], x.shape[2]
+    e = emb_act.shape[-1]
+    tp = _round_up(t, 8)
+    xp = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+    ep = jnp.pad(emb_act, ((0, 0), (0, tp - t), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _stack_kernel, t_valid=t, head_dim=d // num_heads,
+            mxu_dtype=mxu_dtype, num_layers=num_layers,
+        ),
+        grid=(b, num_layers),
+        in_specs=[
+            pl.BlockSpec((1, tp, d), lambda i, l: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp, e), lambda i, l: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d, d), lambda i, l: (l, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, d, d), lambda i, l: (l, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 24, d), lambda i, l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e, 6 * d), lambda i, l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 6 * d), lambda i, l: (l, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tp, d), lambda i, l: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tp, d), F32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * num_layers * tp * (e * 6 * d + 11 * d * d),
+            bytes_accessed=4 * b * tp * (2 * d + e)
+            + 2 * num_layers * (9 * d * d + e * 6 * d),
+            transcendentals=3 * b * num_layers * tp * d,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(xp, ep, kv_cross, mats, vecs, adaln_w, adaln_b[:, None, :])
     return out[:, :t]

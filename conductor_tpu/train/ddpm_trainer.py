@@ -323,6 +323,13 @@ class DDPMTrainer:
         whole pipeline is jitted (cached per (num_steps, guidance, sampler);
         XLA re-specializes per mel shape) — eager dispatch would cost one
         host round-trip per op, catastrophic over remote/tunneled devices."""
+        ds = self.cfg.dataset
+        if mel.ndim != 3 or mel.shape[-1] != ds.mel_bins:
+            raise ValueError(
+                f"mel must be (B, T90, {ds.mel_bins}) — got {mel.shape}. "
+                "Extract features with conductor_tpu.data.mel.extract_mel_feature "
+                f"(n_mels={ds.mel_bins})."
+            )
         key = (num_steps, guidance_scale, sampler)
         if key not in self._generate_cache:
             self._generate_cache[key] = jax.jit(

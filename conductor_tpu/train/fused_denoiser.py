@@ -1,7 +1,8 @@
 """Packed-weight fused sampling path for the MotionTransformer.
 
 Owns the mapping from the flax param tree to the packed per-layer weight
-banks of `ops/pallas_layer.fused_decoder_layer`, and a pure `denoise`
+banks of `ops/pallas_layer.fused_decoder_stack` (all layers in ONE kernel,
+residual stream VMEM-resident across layers), and a pure `denoise`
 mirroring `MotionTransformer.denoise` built from those banks — used by
 `DDPMTrainer.generate` when ``DenoiserConfig.layer_impl == "pallas_fused"``.
 Parity with the flax path is pinned by `tests/test_fused_denoiser.py`.
@@ -18,7 +19,7 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..models.transformer import timestep_embedding
-from ..ops.pallas_layer import fused_decoder_layer
+from ..ops.pallas_layer import fused_decoder_stack
 
 
 def _pad_to(x: jnp.ndarray, shape: tuple[int, ...]) -> jnp.ndarray:
@@ -96,15 +97,13 @@ class FusedDenoiser:
         self.mxu_dtype = jnp.dtype(d.compute_dtype)
         # mats/adaln_w feed the MXU (cast inside the kernel anyway) — store
         # them at mxu_dtype to halve per-step HBM weight traffic at bf16.
-        # vecs stay f32 (VPU adds).
-        def bank(i):
-            mats, vecs, aw, ab = pack_layer_weights(params, i, cfg)
-            return (
-                mats.astype(self.mxu_dtype), vecs,
-                aw.astype(self.mxu_dtype), ab,
-            )
-
-        self.banks = [bank(i) for i in range(d.num_layers)]
+        # vecs stay f32 (VPU adds).  All layers stacked along a leading axis
+        # for the whole-stack kernel.
+        banks = [pack_layer_weights(params, i, cfg) for i in range(d.num_layers)]
+        self.mats = jnp.stack([b[0] for b in banks]).astype(self.mxu_dtype)
+        self.vecs = jnp.stack([b[1] for b in banks])
+        self.adaln_w = jnp.stack([b[2] for b in banks]).astype(self.mxu_dtype)
+        self.adaln_b = jnp.stack([b[3] for b in banks])
         p = params
         self.w_joint = jnp.asarray(p["joint_embed"]["kernel"])
         self.b_joint = jnp.asarray(p["joint_embed"]["bias"])
@@ -120,7 +119,9 @@ class FusedDenoiser:
         """`MotionTransformer.precompute_cond` output -> fused-path cond."""
         out = {
             "emb_base": cond["emb_base"],
-            "kv_blocks": [expand_block_diag(kv) for kv in cond["cross"]],
+            "kv_stack": jnp.stack(
+                [expand_block_diag(kv) for kv in cond["cross"]]
+            ).astype(self.mxu_dtype),
         }
         if "temb_table" in cond:
             out["temb_table"] = cond["temb_table"]
@@ -140,11 +141,11 @@ class FusedDenoiser:
         )
 
         h = x @ self.w_joint + self.b_joint + self.seq_emb[None, :T]
-        for (mats, vecs, aw, ab), kvb in zip(self.banks, cond["kv_blocks"]):
-            h = fused_decoder_layer(
-                h, emb_act, kvb, mats, vecs, aw, ab, self.num_heads,
-                mxu_dtype=self.mxu_dtype,
-            )
+        h = fused_decoder_stack(
+            h, emb_act, cond["kv_stack"], self.mats, self.vecs,
+            self.adaln_w, self.adaln_b, self.num_heads,
+            mxu_dtype=self.mxu_dtype,
+        )
         return (h @ self.w_out + self.b_out).astype(jnp.float32)
 
     def ddim_sample(self, cond: dict, sched, shape, rng: jax.Array) -> jnp.ndarray:
@@ -181,11 +182,11 @@ class FusedDenoiser:
                 x, emb, w_joint, seq_bias,
                 mxu_dtype=self.mxu_dtype, emb_dtype=self.mxu_dtype,
             )
-            for (mats, vecs, aw, ab), kvb in zip(self.banks, cond["kv_blocks"]):
-                h = fused_decoder_layer(
-                    h, emb_act, kvb, mats, vecs, aw, ab, self.num_heads,
-                    mxu_dtype=self.mxu_dtype,
-                )
+            h = fused_decoder_stack(
+                h, emb_act, cond["kv_stack"], self.mats, self.vecs,
+                self.adaln_w, self.adaln_b, self.num_heads,
+                mxu_dtype=self.mxu_dtype,
+            )
             x = sampler_epilogue(
                 h, x, w_out, b_out, alpha_tab[t], beta_tab[t],
                 mxu_dtype=self.mxu_dtype,

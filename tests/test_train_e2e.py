@@ -122,6 +122,14 @@ class TestTrainLoop:
         assert out.shape == (1, 60, 26)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_generate_rejects_wrong_mel_bins(self, synth_root):
+        cfg = tiny_config()
+        trainer = DDPMTrainer(cfg)
+        rng = jax.random.PRNGKey(0)
+        state = trainer.init_state(rng)
+        with pytest.raises(ValueError, match="mel must be"):
+            trainer.generate(state, jnp.zeros((1, 180, 80)), rng, num_steps=4)
+
     def test_generate_guided(self, synth_root):
         cfg = tiny_config()
         trainer = DDPMTrainer(cfg)
