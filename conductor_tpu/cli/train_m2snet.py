@@ -37,6 +37,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--evaluate_epoch", type=int, default=5)
     p.add_argument("--limit_hours", type=float, default=None)
     p.add_argument("--seed", type=int, default=19990319)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="encoder compute dtype (bf16 = opt-in fast path)")
+    p.add_argument("--share_encodes", action="store_true",
+                   help="encode each music/motion once per step and fuse "
+                        "pairs in latent space (2x fewer encodes; BN stats "
+                        "see 2 updates/step instead of the reference's 4)")
     return p
 
 
@@ -52,7 +59,8 @@ def main(argv=None) -> None:
     os.makedirs(run_dir, exist_ok=True)
 
     trainer = M2SNetTrainer(
-        sample_length=args.sample_length, clip_length=args.clip_length, lr=args.lr
+        sample_length=args.sample_length, clip_length=args.clip_length, lr=args.lr,
+        compute_dtype=args.compute_dtype, share_encodes=args.share_encodes,
     )
     rng = jax.random.PRNGKey(args.seed)
     state = trainer.init_state(rng)

@@ -44,6 +44,12 @@ class M2SNet(nn.Module):
         """Both 64-d latent streams (used by eval and transfer)."""
         return self.music_encoder(mel, train), self.motion_encoder(motion, train)
 
+    def fuse(self, hx: jnp.ndarray, hy: jnp.ndarray) -> jnp.ndarray:
+        """Sync probability from precomputed latents — lets a trainer encode
+        each distinct music/motion once and fuse all pair combinations
+        (the reference re-encodes per pair, `M2SNet_train.py:88-91`)."""
+        return self._fuse(hx, hy)
+
     def features(self, mel: jnp.ndarray, motion: jnp.ndarray, train: bool = False):
         """All intermediate feature maps of both encoders (`M2SNet.py:38-41`)."""
         return self.music_encoder.features(mel, train), self.motion_encoder.features(

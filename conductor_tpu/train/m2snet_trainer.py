@@ -41,10 +41,22 @@ class M2SNetTrainer:
         clip_length: int = 10,
         lr: float = 1e-3,
         latent_dim: int = 64,
+        compute_dtype: str = "float32",
+        share_encodes: bool = False,
     ):
+        """``compute_dtype="bfloat16"`` runs the conv encoders in bf16
+        (params/BN stats stay f32); ``share_encodes=True`` encodes each
+        distinct music/motion ONCE per step and fuses the 4 pair
+        combinations from the latents — the reference re-encodes per pair
+        (`M2SNet_train.py:88-91`), so its BN running stats see 4 sequential
+        updates/step instead of 2.  Both are opt-in fast paths; defaults
+        reproduce the reference exactly.  In eval mode (frozen BN stats)
+        shared and unshared forwards are identical
+        (`test_stage1.test_share_encodes_eval_parity`)."""
         self.sample_length = sample_length
         self.clip_length = clip_length
-        self.model = M2SNet(latent_dim=latent_dim)
+        self.share_encodes = share_encodes
+        self.model = M2SNet(latent_dim=latent_dim, dtype=jnp.dtype(compute_dtype))
         self.tx = optax.adam(lr)
         self._steps = {
             s: jax.jit(partial(self._train_step_impl, strategy=s), donate_argnums=(0,))
@@ -68,10 +80,35 @@ class M2SNetTrainer:
 
     def _forward4(self, params, batch_stats, pairs, train: bool):
         """Four M2SNet passes, chaining BN running stats like the reference's
-        sequential calls (`M2SNet_train.py:88-91`)."""
+        sequential calls (`M2SNet_train.py:88-91`).  With ``share_encodes``
+        each distinct music/motion is encoded once (halving encoder work)
+        and the four predictions come from latent-space fusion."""
         m1, m2, p1, p2 = pairs
-        preds = []
         stats = batch_stats
+        if self.share_encodes:
+            lat = {}
+            for key, mel, mot in (("1", m1, p1), ("2", m2, p2)):
+                if train:
+                    (hx, hy), mut = self.model.apply(
+                        {"params": params, "batch_stats": stats}, mel, mot,
+                        True, method=self.model.encode, mutable=["batch_stats"],
+                    )
+                    stats = mut["batch_stats"]
+                else:
+                    hx, hy = self.model.apply(
+                        {"params": params, "batch_stats": stats}, mel, mot,
+                        False, method=self.model.encode,
+                    )
+                lat[f"x{key}"], lat[f"y{key}"] = hx, hy
+            preds = [
+                self.model.apply(
+                    {"params": params, "batch_stats": stats},
+                    lat[a], lat[b], method=self.model.fuse,
+                )
+                for a, b in (("x1", "y1"), ("x1", "y2"), ("x2", "y2"), ("x2", "y1"))
+            ]
+            return preds, stats
+        preds = []
         for mel, mot in ((m1, p1), (m1, p2), (m2, p2), (m2, p1)):
             if train:
                 out, mut = self.model.apply(

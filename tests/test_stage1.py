@@ -83,6 +83,35 @@ class TestM2SNetTrainer:
         out = trainer.evaluate(state, batch, rng, "easy")
         assert set(out) == {"accuracy", "sync_prob", "non_sync_prob"}
 
+    def test_share_encodes_eval_parity(self, rng):
+        """With frozen BN stats the shared-encode forward is the same
+        function as the reference's 4-forward chain — predictions match."""
+        base = M2SNetTrainer(sample_length=12, clip_length=4)
+        shared = M2SNetTrainer(sample_length=12, clip_length=4, share_encodes=True)
+        state = base.init_state(rng)
+        batch = _clip_batch(rng, B=2, S=12)
+        from conductor_tpu.data.pairs import build_pairs
+
+        pairs = build_pairs(rng, batch[0], batch[1], "easy", 12, 4)
+        preds_a, _ = base._forward4(state.params, state.batch_stats, pairs, train=False)
+        preds_b, _ = shared._forward4(state.params, state.batch_stats, pairs, train=False)
+        for a, b in zip(preds_a, preds_b):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_share_encodes_bf16_trains(self, rng):
+        trainer = M2SNetTrainer(
+            sample_length=12, clip_length=4,
+            compute_dtype="bfloat16", share_encodes=True,
+        )
+        state = trainer.init_state(rng)
+        batch = _clip_batch(rng, B=4, S=12)
+        losses = []
+        for i in range(6):
+            state, metrics = trainer.train_step(state, batch, rng, strategy="easy")
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
 
 class TestGANModels:
     def test_generator_shapes_and_range(self, rng):
