@@ -1,0 +1,372 @@
+"""PyTorch state-dict -> flax variable-tree mapping (pure numpy).
+
+Every function takes a flat ``{key: np.ndarray}`` dict (a torch
+``state_dict`` with tensors already converted to numpy) and returns the
+matching flax ``{"params": ..., "batch_stats": ...}`` tree for the
+conductor-tpu modules.  Layout conversions:
+
+- ``nn.Linear``/pointwise ``Conv1d`` (out, in[, 1]) -> flax Dense kernel
+  (in, out);
+- ``nn.Conv2d`` (out, in, kh, kw) -> flax Conv kernel (kh, kw, in, out);
+- BatchNorm ``weight/bias/running_mean/running_var`` ->
+  params ``scale/bias`` + batch_stats ``mean/var``;
+- the reference's K-major graph-conv channels and C-major/V-major flatten
+  orders already line up with the flax modules by construction (see the
+  layout notes in `models/music_encoder.py` and `models/stgcn.py`).
+
+Key-name contracts covered (reference file:line):
+- M2SNet: `Contrastive_Stage/models/M2SNet.py:7-41` (music_encoder.*,
+  motion_encoder.*, fuse_layer.{0,2,4});
+- MusicEncoder: `Contrastive_Stage/models/MusicEncoder.py:30-53`
+  (convN.i.conv2d_layer.{0,1}, convN.i.residual.{0,1}, conv4.{0,1});
+- MotionEncoder_STGCN: `Contrastive_Stage/models/MotionEncoder.py:6-27`
+  (st_gcn.data_bn, st_gcn.st_gcn_networks.i.{gcn.conv,tcn.{0,2,3},
+  residual.{0,1}}, st_gcn.edge_importance.i, fc.{0,1});
+- MotionTransformer: `Diffusion_Stage/models/transformer.py:360-445`
+  (sequence_embedding, music_encoder.*, proj, linear, joint_embed,
+  time_embed.{0,2}, temporal_decoder_blocks.i.{sa_block,ca_block,ffn}, out);
+- stage-2 tar dict: `Diffusion_Stage/trainers/ddpm_trainer.py:290-319`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+Array = np.ndarray
+SD = Mapping[str, Array]
+
+
+# --------------------------------------------------------------------- utils
+
+
+def strip_module_prefix(sd: SD) -> dict[str, Array]:
+    """Drop the DataParallel ``module.`` prefix the reference strips by hand
+    (`M2SGAN_train.py:47-51`, `transformer.py:395-401`)."""
+    return {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in sd.items()
+    }
+
+
+def _np(x) -> Array:
+    return np.asarray(x, dtype=np.float32)
+
+
+def _dense(sd: SD, key: str) -> dict[str, Array]:
+    """torch Linear (out, in) or pointwise Conv1d (out, in, 1) -> Dense."""
+    w = _np(sd[f"{key}.weight"])
+    if w.ndim == 3:  # Conv1d kernel_size=1
+        w = w[:, :, 0]
+    return {"kernel": np.ascontiguousarray(w.T), "bias": _np(sd[f"{key}.bias"])}
+
+
+def _conv2d(sd: SD, key: str) -> dict[str, Array]:
+    """torch Conv2d (O, I, kh, kw) -> flax Conv (kh, kw, I, O)."""
+    w = _np(sd[f"{key}.weight"])
+    return {
+        "kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
+        "bias": _np(sd[f"{key}.bias"]),
+    }
+
+
+def _bn(sd: SD, key: str) -> tuple[dict[str, Array], dict[str, Array]]:
+    """BatchNorm{1,2}d -> (params {scale, bias}, stats {mean, var})."""
+    return (
+        {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])},
+        {
+            "mean": _np(sd[f"{key}.running_mean"]),
+            "var": _np(sd[f"{key}.running_var"]),
+        },
+    )
+
+
+def _has(sd: SD, key: str) -> bool:
+    return f"{key}.weight" in sd
+
+
+# ------------------------------------------------------------- MusicEncoder
+
+# flax block name -> torch Sequential index within convN
+_MUSIC_BLOCKS = [
+    ("conv1_0", "conv1.0"), ("conv1_1", "conv1.1"), ("conv1_2", "conv1.2"),
+    ("conv2_0", "conv2.0"), ("conv2_1", "conv2.1"),
+    ("conv3_0", "conv3.0"), ("conv3_1", "conv3.1"),
+]
+
+
+def import_music_encoder(sd: SD, prefix: str = "") -> dict[str, Any]:
+    """MusicEncoder subtree -> flax `models.music_encoder.MusicEncoder`
+    variables.  ``prefix`` addresses the subtree inside a larger state dict
+    (e.g. ``"music_encoder."``)."""
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+    for flax_name, tname in _MUSIC_BLOCKS:
+        t = f"{prefix}{tname}"
+        p: dict[str, Any] = {"Conv_0": _conv2d(sd, f"{t}.conv2d_layer.0")}
+        s: dict[str, Any] = {}
+        p["BatchNorm_0"], s["BatchNorm_0"] = _bn(sd, f"{t}.conv2d_layer.1")
+        if _has(sd, f"{t}.residual.0"):  # conv1x1 + BN residual branch
+            p["Conv_1"] = _conv2d(sd, f"{t}.residual.0")
+            p["BatchNorm_1"], s["BatchNorm_1"] = _bn(sd, f"{t}.residual.1")
+        params[flax_name] = p
+        stats[flax_name] = s
+    params["proj"] = _dense(sd, f"{prefix}conv4.0")
+    params["proj_bn"], stats["proj_bn"] = _bn(sd, f"{prefix}conv4.1")
+    return {"params": params, "batch_stats": stats}
+
+
+# ----------------------------------------------------- MotionEncoder_STGCN
+
+
+def import_motion_encoder(sd: SD, prefix: str = "") -> dict[str, Any]:
+    """MotionEncoder_STGCN subtree -> flax
+    `models.stgcn.MotionEncoderSTGCN` variables."""
+    g = f"{prefix}st_gcn."
+    gp: dict[str, Any] = {}
+    gs: dict[str, Any] = {}
+    gp["data_bn"], gs["data_bn"] = _bn(sd, f"{g}data_bn")
+
+    n_blocks = 0
+    while _has(sd, f"{g}st_gcn_networks.{n_blocks}.gcn.conv"):
+        n_blocks += 1
+    if n_blocks == 0:
+        raise KeyError(f"no st_gcn_networks.* blocks under '{g}'")
+
+    for i in range(n_blocks):
+        t = f"{g}st_gcn_networks.{i}"
+        bp: dict[str, Any] = {}
+        bs: dict[str, Any] = {}
+        # flax @nn.compact creation order: residual Conv/BN (if any) come
+        # first, so the post-GCN/post-TCN BatchNorm indices shift by one.
+        off = 0
+        if _has(sd, f"{t}.residual.0"):
+            rw = _np(sd[f"{t}.residual.0.weight"])  # (O, I, 1, 1)
+            bp["Conv_0"] = {
+                "kernel": np.ascontiguousarray(rw.transpose(2, 3, 1, 0)),
+                "bias": _np(sd[f"{t}.residual.0.bias"]),
+            }
+            bp["BatchNorm_0"], bs["BatchNorm_0"] = _bn(sd, f"{t}.residual.1")
+            off = 1
+        # graph conv: Conv2d (K*C, Cin, 1, 1), K-major channels -> (Cin, K*C)
+        gw = _np(sd[f"{t}.gcn.conv.weight"])[:, :, 0, 0]
+        bp["GraphConv_0"] = {
+            "kernel": np.ascontiguousarray(gw.T),
+            "bias": _np(sd[f"{t}.gcn.conv.bias"]),
+        }
+        bp[f"BatchNorm_{off}"], bs[f"BatchNorm_{off}"] = _bn(sd, f"{t}.tcn.0")
+        # temporal conv: Conv2d (C, C, kt, 1) -> (kt, Cin, C)
+        tw = _np(sd[f"{t}.tcn.2.weight"])[:, :, :, 0]
+        bp["TemporalConv_0"] = {
+            "kernel": np.ascontiguousarray(tw.transpose(2, 1, 0)),
+            "bias": _np(sd[f"{t}.tcn.2.bias"]),
+        }
+        bp[f"BatchNorm_{off + 1}"], bs[f"BatchNorm_{off + 1}"] = _bn(
+            sd, f"{t}.tcn.3"
+        )
+        gp[f"blocks_{i}"] = bp
+        gs[f"blocks_{i}"] = bs
+
+    for i in range(n_blocks):
+        k = f"{g}edge_importance.{i}"
+        if k in sd:
+            gp[f"edge_importance_{i}"] = _np(sd[k])
+
+    params: dict[str, Any] = {"st_gcn": gp, "fc": _dense(sd, f"{prefix}fc.0")}
+    stats: dict[str, Any] = {"st_gcn": gs}
+    params["fc_bn"], stats["fc_bn"] = _bn(sd, f"{prefix}fc.1")
+    return {"params": params, "batch_stats": stats}
+
+
+def check_adjacency(sd: SD, prefix: str = "", atol: float = 1e-5) -> None:
+    """Verify the checkpoint's baked adjacency buffer (`ST_GCN.py:39-40`)
+    matches this framework's `build_adjacency` — a wrong graph would corrupt
+    every motion latent silently."""
+    key = f"{prefix}st_gcn.A"
+    if key not in sd:
+        return
+    from ..models.graph import build_adjacency
+
+    ours = build_adjacency("ConductorMotionX", "uniform")
+    theirs = _np(sd[key])
+    if ours.shape != theirs.shape or not np.allclose(ours, theirs, atol=atol):
+        raise ValueError(
+            f"checkpoint adjacency {theirs.shape} does not match "
+            f"build_adjacency('ConductorMotionX','uniform') {ours.shape} — "
+            "was the checkpoint trained with a different graph layout/strategy?"
+        )
+
+
+# ------------------------------------------------------------------ M2SNet
+
+
+def import_m2snet(sd: SD) -> dict[str, Any]:
+    """Full M2SNet state dict -> flax `models.m2snet.M2SNet` variables.
+    Accepts either bare or ``module.``-prefixed keys."""
+    sd = strip_module_prefix(sd)
+    check_adjacency(sd, "motion_encoder.")
+    music = import_music_encoder(sd, "music_encoder.")
+    motion = import_motion_encoder(sd, "motion_encoder.")
+    params: dict[str, Any] = {
+        "music_encoder": music["params"],
+        "motion_encoder": motion["params"],
+        "fuse1": _dense(sd, "fuse_layer.0"),
+        "fuse2": _dense(sd, "fuse_layer.2"),
+        "fuse3": _dense(sd, "fuse_layer.4"),
+    }
+    stats = {
+        "music_encoder": music["batch_stats"],
+        "motion_encoder": motion["batch_stats"],
+    }
+    return {"params": params, "batch_stats": stats}
+
+
+def music_encoder_from_m2snet(sd: SD) -> dict[str, Any]:
+    """The stage-2 grafting contract: pull ``module.music_encoder.*`` out of
+    a stage-1 M2SNet checkpoint (`transformer.py:394-401`)."""
+    return import_music_encoder(strip_module_prefix(sd), "music_encoder.")
+
+
+def motion_encoder_from_m2snet(sd: SD) -> dict[str, Any]:
+    """The perceptual-loss encoder graft: ``module.motion_encoder.*``
+    (`ddpm_trainer.py:66-79` MotionPretrain)."""
+    sd = strip_module_prefix(sd)
+    check_adjacency(sd, "motion_encoder.")
+    return import_motion_encoder(sd, "motion_encoder.")
+
+
+# ------------------------------------------------------- MotionTransformer
+
+
+def import_motion_transformer(sd: SD) -> dict[str, Any]:
+    """MotionTransformer state dict -> flax
+    `models.transformer.MotionTransformer` variables.
+
+    Works for both the efficient (linear-attention) and ``no_eff``
+    (quadratic) reference variants — their state-dict key names coincide.
+    The per-block StylizationBlock ``emb_layers`` Linears are packed into
+    the flax model's single batched ``adaln_kernel`` (see
+    `models/transformer.py` StylizationBlock docstring): column span
+    ``(i*3 + j) * 2*latent`` holds layer i's sublayer j (0=self-attn,
+    1=cross-attn, 2=FFN), scale before shift, matching
+    ``torch.chunk(emb_out, 2)`` (`transformer.py:77`).
+    """
+    sd = strip_module_prefix(sd)
+    music = import_music_encoder(sd, "music_encoder.")
+
+    n_layers = 0
+    while _has(sd, f"temporal_decoder_blocks.{n_layers}.sa_block.query"):
+        n_layers += 1
+    if n_layers == 0:
+        raise KeyError("no temporal_decoder_blocks.* in state dict")
+    latent = _np(sd["joint_embed.weight"]).shape[0]
+    time_embed_dim = _np(sd["time_embed.0.weight"]).shape[0]
+
+    def _ln(key: str) -> dict[str, Array]:
+        return {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}
+
+    span = 2 * latent
+    adaln_kernel = np.zeros((time_embed_dim, n_layers * 3 * span), np.float32)
+    adaln_bias = np.zeros((n_layers * 3 * span,), np.float32)
+
+    params: dict[str, Any] = {
+        "music_encoder": music["params"],
+        "proj": _dense(sd, "proj"),
+        "music_linear": _dense(sd, "linear"),
+        "joint_embed": _dense(sd, "joint_embed"),
+        "sequence_embedding": _np(sd["sequence_embedding"]),
+        "time_embed_1": _dense(sd, "time_embed.0"),
+        "time_embed_2": _dense(sd, "time_embed.2"),
+        "out": _dense(sd, "out"),
+    }
+
+    for i in range(n_layers):
+        t = f"temporal_decoder_blocks.{i}"
+        for j, sub in enumerate(("sa_block", "ca_block", "ffn")):
+            emb = _dense(sd, f"{t}.{sub}.proj_out.emb_layers.1")
+            col = (i * 3 + j) * span
+            adaln_kernel[:, col : col + span] = emb["kernel"]
+            adaln_bias[col : col + span] = emb["bias"]
+
+        def _styl(sub: str) -> dict[str, Any]:
+            return {
+                "LayerNorm_0": _ln(f"{t}.{sub}.proj_out.norm"),
+                "Dense_0": _dense(sd, f"{t}.{sub}.proj_out.out_layers.2"),
+            }
+
+        blk = {
+            "self_attn": {
+                "LayerNorm_0": _ln(f"{t}.sa_block.norm"),
+                "Dense_0": _dense(sd, f"{t}.sa_block.query"),
+                "Dense_1": _dense(sd, f"{t}.sa_block.key"),
+                "Dense_2": _dense(sd, f"{t}.sa_block.value"),
+                "StylizationBlock_0": _styl("sa_block"),
+            },
+            "cross_attn": {
+                "norm_x": _ln(f"{t}.ca_block.norm"),
+                "norm_xf": _ln(f"{t}.ca_block.text_norm"),
+                "query": _dense(sd, f"{t}.ca_block.query"),
+                "key": _dense(sd, f"{t}.ca_block.key"),
+                "value": _dense(sd, f"{t}.ca_block.value"),
+                "styl": _styl("ca_block"),
+            },
+            "ffn": {
+                "Dense_0": _dense(sd, f"{t}.ffn.linear1"),
+                "Dense_1": _dense(sd, f"{t}.ffn.linear2"),
+                "StylizationBlock_0": _styl("ffn"),
+            },
+        }
+        params[f"blocks_{i}"] = blk
+
+    params["adaln_kernel"] = adaln_kernel
+    params["adaln_bias"] = adaln_bias
+    return {"params": params, "batch_stats": {"music_encoder": music["batch_stats"]}}
+
+
+# --------------------------------------------------------------- torch I/O
+
+
+def load_torch_state_dict(path: str) -> dict[str, Array]:
+    """Load a ``.pt`` state-dict file to numpy (requires torch, CPU-only)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.detach().cpu().numpy() for k, v in obj.items()}
+
+
+def load_diffusion_tar(path: str) -> tuple[dict[str, Array], dict[str, Any]]:
+    """Load a stage-2 ``latest.tar``-style checkpoint
+    (`ddpm_trainer.py:290-319`): returns (encoder state dict as numpy,
+    metadata {ep, total_it}).  The optimizer state is not imported — resume
+    momentum from scratch (Adam warms up within a few hundred steps)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    enc = {k: v.detach().cpu().numpy() for k, v in obj["encoder"].items()}
+    meta = {"ep": int(obj.get("ep", 0)), "total_it": int(obj.get("total_it", 0))}
+    return enc, meta
+
+
+def assert_matches_template(imported: Any, template: Any, path: str = "") -> None:
+    """Structural check: the imported tree must have exactly the template's
+    leaves (names + shapes).  Raises with the full diff on mismatch."""
+    import jax
+
+    imp = {"/".join(str(p.key) for p in k): v.shape
+           for k, v in jax.tree_util.tree_leaves_with_path(imported)}
+    tmp = {"/".join(str(p.key) for p in k): v.shape
+           for k, v in jax.tree_util.tree_leaves_with_path(template)}
+    problems = []
+    for k in sorted(set(imp) | set(tmp)):
+        if k not in imp:
+            problems.append(f"missing: {k} {tmp[k]}")
+        elif k not in tmp:
+            problems.append(f"extra:   {k} {imp[k]}")
+        elif tuple(imp[k]) != tuple(tmp[k]):
+            problems.append(f"shape:   {k} imported {imp[k]} != template {tmp[k]}")
+    if problems:
+        raise ValueError(
+            f"imported tree does not match the flax template at '{path}':\n  "
+            + "\n  ".join(problems)
+        )

@@ -34,6 +34,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import quadratic_self_attention, temporal_linear_attention
+
+# torch nn.LayerNorm eps — kept identical for checkpoint-import parity
+# (`Diffusion_Stage/models/transformer.py:61,89` use the torch default 1e-5).
+LN_EPS = 1e-5
 from .music_encoder import MusicEncoder
 
 
@@ -75,7 +79,7 @@ class StylizationBlock(nn.Module):
     @nn.compact
     def __call__(self, h: jnp.ndarray, mod: jnp.ndarray, train: bool) -> jnp.ndarray:
         scale, shift = jnp.split(mod, 2, axis=-1)
-        h = nn.LayerNorm(dtype=self.dtype)(h) * (1 + scale) + shift
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)(h) * (1 + scale) + shift
         h = nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
@@ -95,7 +99,7 @@ class LinearSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mod, src_mask, train: bool):
-        xn = nn.LayerNorm(dtype=self.dtype)(x)
+        xn = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)(x)
         q = nn.Dense(self.latent_dim, dtype=self.dtype)(xn)
         k = nn.Dense(self.latent_dim, dtype=self.dtype)(xn)
         v = nn.Dense(self.latent_dim, dtype=self.dtype)(xn)
@@ -126,8 +130,8 @@ class LinearCrossAttention(nn.Module):
     attention_impl: str = "xla"
 
     def setup(self):
-        self.norm_x = nn.LayerNorm(dtype=self.dtype)
-        self.norm_xf = nn.LayerNorm(dtype=self.dtype)
+        self.norm_x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
+        self.norm_xf = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
         self.query = nn.Dense(self.latent_dim, dtype=self.dtype)
         self.key = nn.Dense(self.latent_dim, dtype=self.dtype)
         self.value = nn.Dense(self.latent_dim, dtype=self.dtype)
@@ -166,7 +170,7 @@ class QuadraticSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mod, src_mask, train: bool):
-        xn = nn.LayerNorm(dtype=self.dtype)(x)
+        xn = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)(x)
         q = nn.Dense(self.latent_dim, dtype=self.dtype)(xn)
         k = nn.Dense(self.latent_dim, dtype=self.dtype)(xn)
         v = nn.Dense(self.latent_dim, dtype=self.dtype)(xn)
@@ -187,8 +191,8 @@ class QuadraticCrossAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.norm_x = nn.LayerNorm(dtype=self.dtype)
-        self.norm_xf = nn.LayerNorm(dtype=self.dtype)
+        self.norm_x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
+        self.norm_xf = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
         self.query = nn.Dense(self.latent_dim, dtype=self.dtype)
         self.key = nn.Dense(self.latent_dim, dtype=self.dtype)
         self.value = nn.Dense(self.latent_dim, dtype=self.dtype)

@@ -54,11 +54,12 @@ def _round_up(x: int, m: int) -> int:
 def _ln(x, g, b):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + 1e-6) * g + b
+    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * g + b
 
 
 def _layer_body(
-    x, emb, kvc, m_, v_, aw, ab, *, t_valid: int, head_dim: int, mxu_dtype
+    x, emb, kvc, m_, v_, aw, ab, *, t_valid: int, head_dim: int, mxu_dtype,
+    vpu_dtype=F32,
 ):
     """One decoder layer on f32 values already in VMEM/registers.
 
@@ -66,8 +67,17 @@ def _layer_body(
     f32 block-diagonal cross KV; ``m_(i)``/``v_(i)`` yield the i-th weight
     matrix (raw dtype) / vector row (f32); ``aw``/``ab`` this layer's AdaLN
     slice.  Shared by the per-layer kernel and the whole-stack kernel.
+
+    ``vpu_dtype`` (opt-in bfloat16): run the transcendental-heavy elementwise
+    chains — the query feature-softmax exps, the stylization silu, the FFN
+    gelu — at bf16 (packed 2x VPU ops).  These are the serialized VPU work
+    that bounds the sampling step (NOTES r1: ~18 GFLOP/step should take
+    ~90 us on the MXU; measured ~190 us).  LayerNorm statistics, residuals,
+    and the time-softmax normalization stay f32: LN at bf16 drifts ~1e-2 and
+    the time softmax averages O(1/T) values below bf16 resolution.
     """
     tp, d = x.shape
+    vd = vpu_dtype
 
     # MXU operands in mxu_dtype (bf16 doubles throughput), f32 accumulation.
     def md(a, b):
@@ -79,12 +89,14 @@ def _layer_body(
     def seg_softmax_rows(q, seg):
         # feature softmax within each head segment of the lane dim (valid
         # under per-row max subtraction; see pallas_attention.py docstring)
-        qe = jnp.exp(q - jnp.max(q, axis=1, keepdims=True))
-        return qe / md(qe, seg)
+        qe = jnp.exp((q - jnp.max(q, axis=1, keepdims=True)).astype(vd))
+        return qe.astype(F32) / md(qe, seg)
 
     def styl(y, scale, shift, g, b, w, bias):
-        h = _ln(y, g, b) * (1.0 + scale) + shift
-        h = h * jax.nn.sigmoid(h)  # silu
+        h = (_ln(y, g, b) * (1.0 + scale) + shift).astype(vd)
+        # silu via explicit exp: Mosaic's `logistic` lowering broadcasts an
+        # f32 constant and fails verification on bf16 operands
+        h = h / (1.0 + jnp.exp(-h))
         return md(h, w) + bias
 
     seg_i = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0) // head_dim
@@ -126,7 +138,7 @@ def _layer_body(
     )
 
     # -------------------------------------------------------------- FFN
-    h1 = jax.nn.gelu(md(x, m_(6)) + v_(14))
+    h1 = jax.nn.gelu((md(x, m_(6)) + v_(14)).astype(vd))
     y3 = md(h1, m_(7)) + v_(15)
     x = x + styl(
         y3, mod[:, 4 * d : 5 * d], mod[:, 5 * d : 6 * d],
@@ -137,13 +149,14 @@ def _layer_body(
 
 def _layer_kernel(
     x_ref, emb_ref, kvc_ref, mats_ref, vecs_ref, aw_ref, ab_ref, o_ref,
-    *, t_valid: int, head_dim: int, mxu_dtype,
+    *, t_valid: int, head_dim: int, mxu_dtype, vpu_dtype=F32,
 ):
     x = _layer_body(
         x_ref[0].astype(F32), emb_ref[0], kvc_ref[0].astype(F32),
         lambda i: mats_ref[i], lambda i: vecs_ref[i].astype(F32),
         aw_ref[:], ab_ref[0],
         t_valid=t_valid, head_dim=head_dim, mxu_dtype=mxu_dtype,
+        vpu_dtype=vpu_dtype,
     )
     o_ref[0] = x.astype(o_ref.dtype)
 
@@ -151,7 +164,7 @@ def _layer_kernel(
 def _stack_kernel(
     x_ref, emb_ref, kvc_ref, mats_ref, vecs_ref, aw_ref, ab_ref, o_ref,
     h_scr,
-    *, t_valid: int, head_dim: int, mxu_dtype, num_layers: int,
+    *, t_valid: int, head_dim: int, mxu_dtype, num_layers: int, vpu_dtype=F32,
 ):
     layer = pl.program_id(1)
 
@@ -164,6 +177,7 @@ def _stack_kernel(
         lambda i: mats_ref[0, i], lambda i: vecs_ref[0, i].astype(F32),
         aw_ref[0], ab_ref[0, 0],
         t_valid=t_valid, head_dim=head_dim, mxu_dtype=mxu_dtype,
+        vpu_dtype=vpu_dtype,
     )
     h_scr[...] = x
 
@@ -183,6 +197,7 @@ def fused_decoder_layer(
     num_heads: int,
     mxu_dtype: jnp.dtype = jnp.float32,
     t_valid: int | None = None,
+    vpu_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
     """``t_valid`` lets a caller pass inputs already padded to a sublane
     multiple (rows >= t_valid are masked out of the time softmax and the
@@ -197,7 +212,7 @@ def fused_decoder_layer(
     out = pl.pallas_call(
         functools.partial(
             _layer_kernel, t_valid=t_valid or t, head_dim=d // num_heads,
-            mxu_dtype=mxu_dtype,
+            mxu_dtype=mxu_dtype, vpu_dtype=vpu_dtype,
         ),
         grid=(b,),
         in_specs=[
@@ -233,6 +248,7 @@ def fused_decoder_stack(
     adaln_b: jnp.ndarray,  # (L, 6D)
     num_heads: int,
     mxu_dtype: jnp.dtype = jnp.float32,
+    vpu_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
     """All ``L`` decoder layers in ONE kernel: grid ``(B, L)`` with the
     residual stream held in an f32 VMEM scratch across the (sequential)
@@ -253,7 +269,7 @@ def fused_decoder_stack(
     out = pl.pallas_call(
         functools.partial(
             _stack_kernel, t_valid=t, head_dim=d // num_heads,
-            mxu_dtype=mxu_dtype, num_layers=num_layers,
+            mxu_dtype=mxu_dtype, num_layers=num_layers, vpu_dtype=vpu_dtype,
         ),
         grid=(b, num_layers),
         in_specs=[

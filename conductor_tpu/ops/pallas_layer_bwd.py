@@ -42,7 +42,7 @@ def _ln_fwd(x, g, b):
     x = x.astype(jnp.float32)
     mu = jnp.mean(x, axis=-1, keepdims=True)
     xc = x - mu
-    r = jax.lax.rsqrt(jnp.mean(xc * xc, axis=-1, keepdims=True) + 1e-6)
+    r = jax.lax.rsqrt(jnp.mean(xc * xc, axis=-1, keepdims=True) + 1e-5)
     xhat = xc * r
     return xhat * g + b, xhat, r
 

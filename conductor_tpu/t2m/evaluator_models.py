@@ -66,7 +66,7 @@ class _BiGRUCo(nn.Module):
         carry_b, _ = bwd(inputs, initial_carry=init_b, seq_lengths=lengths)
         last = jnp.concatenate([carry_f, carry_b], axis=-1)
         h = nn.Dense(self.hidden_size)(last)
-        h = _leaky(nn.LayerNorm()(h))
+        h = _leaky(nn.LayerNorm(epsilon=1e-5)(h))  # torch LayerNorm eps, for checkpoint parity
         return nn.Dense(self.output_size)(h)
 
 

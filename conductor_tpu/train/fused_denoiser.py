@@ -95,6 +95,7 @@ class FusedDenoiser:
         self.num_heads = d.num_heads
         self.latent_dim = d.latent_dim
         self.mxu_dtype = jnp.dtype(d.compute_dtype)
+        self.vpu_dtype = jnp.dtype(getattr(d, "sampler_vpu_dtype", "float32"))
         # mats/adaln_w feed the MXU (cast inside the kernel anyway) — store
         # them at mxu_dtype to halve per-step HBM weight traffic at bf16.
         # vecs stay f32 (VPU adds).  All layers stacked along a leading axis
@@ -144,7 +145,7 @@ class FusedDenoiser:
         h = fused_decoder_stack(
             h, emb_act, cond["kv_stack"], self.mats, self.vecs,
             self.adaln_w, self.adaln_b, self.num_heads,
-            mxu_dtype=self.mxu_dtype,
+            mxu_dtype=self.mxu_dtype, vpu_dtype=self.vpu_dtype,
         )
         return (h @ self.w_out + self.b_out).astype(jnp.float32)
 
@@ -185,7 +186,7 @@ class FusedDenoiser:
             h = fused_decoder_stack(
                 h, emb_act, cond["kv_stack"], self.mats, self.vecs,
                 self.adaln_w, self.adaln_b, self.num_heads,
-                mxu_dtype=self.mxu_dtype,
+                mxu_dtype=self.mxu_dtype, vpu_dtype=self.vpu_dtype,
             )
             x = sampler_epilogue(
                 h, x, w_out, b_out, alpha_tab[t], beta_tab[t],
@@ -198,7 +199,7 @@ class FusedDenoiser:
         return x[:, :, :C]
 
 
-def _ln(x, scale, bias, eps=1e-6):
+def _ln(x, scale, bias, eps=1e-5):
     mu = x.mean(-1, keepdims=True)
     var = ((x - mu) ** 2).mean(-1, keepdims=True)
     return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias

@@ -1,0 +1,132 @@
+"""Generate golden cross-framework parity fixtures from the reference
+PyTorch models (run manually; requires torch + the reference checkout).
+
+    python tests/fixtures/make_torch_fixtures.py [--reference /root/reference]
+
+Weights are NOT committed: the fixture stores the state-dict manifest
+(key -> shape) and torch activations computed on weights synthesized by
+`conductor_tpu.interop.synth.synth_state_dict` — the test re-synthesizes
+identical weights from the manifest and compares flax outputs against the
+recorded torch outputs.  See synth.py for the determinism contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, REPO)
+
+from conductor_tpu.interop.synth import manifest_to_json, synth_state_dict  # noqa: E402
+
+SEED_WEIGHTS = 0
+SEED_INPUTS = 123
+OUT_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _to_torch(sd):
+    import torch
+
+    return {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+
+
+def make_m2snet(reference: str):
+    import torch
+
+    sys.path.insert(0, os.path.join(reference, "Contrastive_Stage"))
+    from models.M2SNet import M2SNet  # type: ignore
+
+    model = M2SNet()
+    manifest = {k: tuple(v.shape) for k, v in model.state_dict().items()}
+    sd = synth_state_dict(manifest, SEED_WEIGHTS)
+    model.load_state_dict(_to_torch(sd), strict=True)
+    model.eval()
+
+    rng = np.random.RandomState(SEED_INPUTS)
+    mel = rng.uniform(0, 1, size=(2, 180, 128)).astype(np.float32)
+    motion = rng.uniform(0, 1, size=(2, 60, 13, 2)).astype(np.float32)
+    with torch.no_grad():
+        hx = model.music_encoder(torch.from_numpy(mel))
+        hy = model.motion_encoder(torch.from_numpy(motion))
+        out = model(torch.from_numpy(mel), torch.from_numpy(motion))
+
+    # the true reference adjacency, to pin build_adjacency against
+    ref_A = model.motion_encoder.st_gcn.A.numpy()
+
+    np.savez_compressed(
+        os.path.join(OUT_DIR, "torch_m2snet.npz"),
+        manifest=np.frombuffer(manifest_to_json(manifest).encode(), np.uint8),
+        mel=mel,
+        motion=motion,
+        hx=hx.numpy(),
+        hy=hy.numpy(),
+        out=out.numpy(),
+        ref_adjacency=ref_A,
+    )
+    print("torch_m2snet.npz:", hx.shape, hy.shape, out.shape)
+
+
+def make_transformer(reference: str):
+    import torch
+
+    # purge the Contrastive_Stage 'models' package so the Diffusion_Stage one
+    # resolves fresh
+    for mod in [m for m in sys.modules if m == "models" or m.startswith("models.")]:
+        del sys.modules[mod]
+    sys.path.insert(0, os.path.join(reference, "Diffusion_Stage"))
+    from models.transformer import MotionTransformer  # type: ignore
+
+    # latent_dim must be 128: the reference hard-codes Linear(64, 512) for the
+    # music projection and adds it to the 4*latent-wide time embedding
+    # (`transformer.py:404,482`), which only broadcasts at latent 128.
+    model = MotionTransformer(
+        input_feats=26, num_frames=30, latent_dim=128, ff_size=64,
+        num_layers=2, num_heads=8, dropout=0, no_eff=False,
+        music_model_path=None, device="cpu",
+    )
+    manifest = {k: tuple(v.shape) for k, v in model.state_dict().items()}
+    sd = synth_state_dict(manifest, SEED_WEIGHTS)
+    model.load_state_dict(_to_torch(sd), strict=True)
+    model.eval()
+
+    rng = np.random.RandomState(SEED_INPUTS)
+    mel = rng.uniform(0, 1, size=(2, 90, 128)).astype(np.float32)
+    x = rng.normal(0, 1, size=(2, 30, 26)).astype(np.float32)
+    t = np.array([7, 341], np.int64)
+
+    with torch.no_grad():
+        xf_proj, xf_out = model.encode_music(torch.from_numpy(mel), "cpu")
+        out_full = model(
+            torch.from_numpy(x), torch.from_numpy(t), length=[30, 30],
+            text=torch.from_numpy(mel),
+        )
+        out_masked = model(
+            torch.from_numpy(x), torch.from_numpy(t), length=[30, 10],
+            text=torch.from_numpy(mel),
+        )
+
+    np.savez_compressed(
+        os.path.join(OUT_DIR, "torch_transformer.npz"),
+        manifest=np.frombuffer(manifest_to_json(manifest).encode(), np.uint8),
+        mel=mel,
+        x=x,
+        t=t.astype(np.int32),
+        xf_proj=xf_proj.numpy(),
+        xf_out=xf_out.numpy(),
+        out_full=out_full.numpy(),
+        out_masked=out_masked.numpy(),
+        masked_lengths=np.array([30, 10], np.int32),
+    )
+    print("torch_transformer.npz:", xf_proj.shape, out_full.shape)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reference", default="/root/reference")
+    args = ap.parse_args()
+    make_m2snet(args.reference)
+    make_transformer(args.reference)

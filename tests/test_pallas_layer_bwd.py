@@ -28,7 +28,7 @@ def ref_layer(x, emb, kvc, mats, vecs, aw, ab):
     def ln(h, g, b):
         mu = h.mean(-1, keepdims=True)
         var = ((h - mu) ** 2).mean(-1, keepdims=True)
-        return (h - mu) * jax.lax.rsqrt(var + 1e-6) * g + b
+        return (h - mu) * jax.lax.rsqrt(var + 1e-5) * g + b
 
     def seg_softmax(q):
         qe = jnp.exp(q - q.max(-1, keepdims=True))

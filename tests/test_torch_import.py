@@ -1,0 +1,256 @@
+"""Cross-framework golden parity: reference PyTorch weights -> flax.
+
+The fixtures (tests/fixtures/torch_*.npz, built by make_torch_fixtures.py
+against the real reference models) carry the torch state-dict manifest and
+torch activations on deterministically synthesized weights; here we
+re-synthesize the identical weights, run them through
+`conductor_tpu.interop` and the flax models, and pin the outputs.  This is
+the numeric half of the north star: a published reference checkpoint loads
+into this framework and produces the same activations.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conductor_tpu.interop import (
+    import_m2snet,
+    import_motion_transformer,
+    music_encoder_from_m2snet,
+)
+from conductor_tpu.interop.synth import manifest_from_json, synth_state_dict
+from conductor_tpu.interop.torch_import import assert_matches_template
+from conductor_tpu.models import MotionTransformer, generate_src_mask
+from conductor_tpu.models.graph import build_adjacency
+from conductor_tpu.models.m2snet import M2SNet
+from conductor_tpu.models.music_encoder import MusicEncoder
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _load(name):
+    fx = np.load(os.path.join(FIXTURES, name))
+    manifest = manifest_from_json(bytes(fx["manifest"]).decode())
+    return fx, synth_state_dict(manifest, seed=0)
+
+
+@pytest.fixture(scope="module")
+def m2snet_fixture():
+    return _load("torch_m2snet.npz")
+
+
+@pytest.fixture(scope="module")
+def transformer_fixture():
+    return _load("torch_transformer.npz")
+
+
+def test_adjacency_matches_reference(m2snet_fixture):
+    """build_adjacency reproduces the reference Graph.A buffer exactly."""
+    fx, _ = m2snet_fixture
+    ours = build_adjacency("ConductorMotionX", "uniform")
+    np.testing.assert_allclose(ours, fx["ref_adjacency"], atol=1e-6)
+
+
+def test_m2snet_import_structure(m2snet_fixture):
+    _, sd = m2snet_fixture
+    variables = import_m2snet(sd)
+    model = M2SNet()
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 90, 128)),
+        jnp.zeros((1, 30, 13, 2)),
+    )
+    assert_matches_template(variables, template)
+
+
+def test_m2snet_activation_parity(m2snet_fixture):
+    """Music latents, motion latents, and sync probs match torch to ~1e-4."""
+    fx, sd = m2snet_fixture
+    variables = jax.tree.map(jnp.asarray, import_m2snet(sd))
+    model = M2SNet()
+    mel, motion = jnp.asarray(fx["mel"]), jnp.asarray(fx["motion"])
+
+    hx, hy = model.apply(variables, mel, motion, method=model.encode)
+    np.testing.assert_allclose(np.asarray(hx), fx["hx"], atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(hy), fx["hy"], atol=2e-4, rtol=1e-3)
+
+    out = model.apply(variables, mel, motion)
+    np.testing.assert_allclose(np.asarray(out), fx["out"], atol=1e-5, rtol=1e-4)
+
+
+def test_music_encoder_graft_parity(m2snet_fixture):
+    """The stage-2 contract: module.music_encoder.* grafts standalone
+    (`transformer.py:394-401`) and reproduces the same latents."""
+    fx, sd = m2snet_fixture
+    wrapped = {f"module.{k}": v for k, v in sd.items()}  # DataParallel form
+    variables = jax.tree.map(jnp.asarray, music_encoder_from_m2snet(wrapped))
+    enc = MusicEncoder()
+    hx = enc.apply(variables, jnp.asarray(fx["mel"]))
+    np.testing.assert_allclose(np.asarray(hx), fx["hx"], atol=2e-4, rtol=1e-3)
+
+
+def _make_flax_transformer():
+    return MotionTransformer(
+        input_feats=26, num_frames=30, latent_dim=128, ff_size=64,
+        num_layers=2, num_heads=8, dropout=0.0, efficient=True,
+    )
+
+
+def test_transformer_import_structure(transformer_fixture):
+    _, sd = transformer_fixture
+    variables = import_motion_transformer(sd)
+    model = _make_flax_transformer()
+    template = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 90, 128)),
+        jnp.zeros((1, 30, 26)),
+        jnp.zeros((1,), jnp.int32),
+        method=model.init_with_music,
+    )
+    assert_matches_template(variables, template)
+
+
+def test_transformer_activation_parity(transformer_fixture):
+    """Denoiser outputs match torch end-to-end (music encoding + 2 decoder
+    layers + AdaLN packing), full and partial src_mask."""
+    fx, sd = transformer_fixture
+    variables = jax.tree.map(jnp.asarray, import_motion_transformer(sd))
+    model = _make_flax_transformer()
+
+    mel = jnp.asarray(fx["mel"])
+    x = jnp.asarray(fx["x"])
+    t = jnp.asarray(fx["t"])
+
+    xf_proj, xf_out = model.apply(variables, mel, method=model.encode_music)
+    np.testing.assert_allclose(
+        np.asarray(xf_proj), fx["xf_proj"], atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(xf_out), fx["xf_out"], atol=2e-4, rtol=1e-3
+    )
+
+    out = model.apply(variables, x, t, xf_proj, xf_out)
+    np.testing.assert_allclose(
+        np.asarray(out), fx["out_full"], atol=5e-4, rtol=1e-3
+    )
+
+    mask = generate_src_mask(30, jnp.asarray(fx["masked_lengths"]))
+    out_m = model.apply(variables, x, t, xf_proj, xf_out, mask)
+    np.testing.assert_allclose(
+        np.asarray(out_m), fx["out_masked"], atol=5e-4, rtol=1e-3
+    )
+
+
+def test_torch_file_roundtrip(tmp_path, m2snet_fixture):
+    """The actual .pt / .tar loading path (requires torch, present in CI)."""
+    torch = pytest.importorskip("torch")
+    from conductor_tpu.interop import load_diffusion_tar, load_torch_state_dict
+
+    _, sd = m2snet_fixture
+    pt = tmp_path / "M2SNet_last.pt"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, pt)
+    loaded = load_torch_state_dict(str(pt))
+    assert set(loaded) == set(sd)
+    np.testing.assert_array_equal(loaded["fuse_layer.0.bias"], sd["fuse_layer.0.bias"])
+
+    tar = tmp_path / "latest.tar"
+    torch.save(
+        {
+            "encoder": {"w": torch.ones(3)},
+            "opt_encoder": {},
+            "ep": 4,
+            "total_it": 1234,
+        },
+        tar,
+    )
+    enc, meta = load_diffusion_tar(str(tar))
+    assert meta == {"ep": 4, "total_it": 1234}
+    np.testing.assert_array_equal(enc["w"], np.ones(3))
+
+
+def test_m2snet_feature_stack_parity(m2snet_fixture):
+    """features() stacks line up in count and final-latent values — the
+    perceptual path (SyncLoss / FGD) sees reference-identical features."""
+    fx, sd = m2snet_fixture
+    variables = jax.tree.map(jnp.asarray, import_m2snet(sd))
+    model = M2SNet()
+    mel, motion = jnp.asarray(fx["mel"]), jnp.asarray(fx["motion"])
+    mfeats, yfeats = model.apply(
+        variables, mel, motion, method=model.features
+    )
+    assert len(mfeats) == 5   # mel, h1, h2, h3, h4 (`MusicEncoder.py:55-70`)
+    assert len(yfeats) == 12  # data_bn + 10 blocks + projection
+    np.testing.assert_allclose(
+        np.asarray(mfeats[-1]), fx["hx"], atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(yfeats[-1]), fx["hy"], atol=2e-4, rtol=1e-3
+    )
+
+
+def test_import_cli_m2snet(tmp_path, m2snet_fixture):
+    """End-to-end: .pt file -> import CLI -> orbax ckpt consumable as
+    --stage1_ckpt by the stage-2 trainer."""
+    torch = pytest.importorskip("torch")
+    from conductor_tpu.cli.import_torch import main as import_main
+    from conductor_tpu.train.checkpoints import restore_raw
+
+    _, sd = m2snet_fixture
+    pt = tmp_path / "M2SNet_last.pt"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, pt)
+    out = tmp_path / "imported"
+    import_main(["m2snet", "--input", str(pt), "--output", str(out)])
+
+    restored = restore_raw(str(out / "ckpt"))
+    assert "music_encoder" in restored["params"]
+    assert "motion_encoder" in restored["params"]
+    np.testing.assert_allclose(
+        restored["params"]["fuse1"]["bias"], sd["fuse_layer.0.bias"], atol=0
+    )
+
+
+def test_import_cli_diffusion(tmp_path, transformer_fixture):
+    """End-to-end: latest.tar -> import CLI -> run dir that generates motion."""
+    torch = pytest.importorskip("torch")
+    from conductor_tpu.cli.import_torch import main as import_main
+    from conductor_tpu.config import Config
+    from conductor_tpu.train.checkpoints import CheckpointManager
+    from conductor_tpu.train.ddpm_trainer import DDPMTrainer
+
+    fx, sd = transformer_fixture
+    tar = tmp_path / "latest.tar"
+    torch.save(
+        {
+            "encoder": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+            "opt_encoder": {},
+            "ep": 2,
+            "total_it": 77,
+        },
+        tar,
+    )
+    out = tmp_path / "run"
+    import_main(["diffusion", "--input", str(tar), "--output", str(out)])
+
+    cfg = Config.load(str(out / "config.json"))
+    assert cfg.denoiser.latent_dim == 128 and cfg.denoiser.num_layers == 2
+    trainer = DDPMTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = CheckpointManager(str(out / "ckpt")).restore(state)
+    assert int(state.step) == 77
+
+    # the restored weights drive the flax model to the torch outputs
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    model = trainer.model
+    xf_proj, xf_out = model.apply(
+        variables, jnp.asarray(fx["mel"]), method=model.encode_music
+    )
+    out_full = model.apply(
+        variables, jnp.asarray(fx["x"]), jnp.asarray(fx["t"]), xf_proj, xf_out
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_full), fx["out_full"], atol=5e-4, rtol=1e-3
+    )
