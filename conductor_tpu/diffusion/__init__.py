@@ -4,6 +4,7 @@ from .gaussian import (  # noqa: F401
     LossKind,
     MeanType,
     VarType,
+    calc_bpd_loop,
     extract,
     mean_flat,
     normal_kl,
@@ -13,6 +14,7 @@ from .gaussian import (  # noqa: F401
     predict_xstart_from_xprev,
     q_mean_variance,
     q_posterior_mean_variance,
+    prior_bpd,
     q_sample,
     training_losses,
     vb_terms_bpd,

@@ -270,16 +270,50 @@ def training_losses(
     noise: jnp.ndarray,
     *,
     mean_type: MeanType = MeanType.START_X,
+    var_type: VarType = VarType.FIXED_SMALL,
+    loss_kind: LossKind = LossKind.MSE,
 ) -> dict[str, jnp.ndarray]:
-    """MSE-family training terms (`gaussian_diffusion.py:1002-1090`).
+    """Training terms for every LossType branch
+    (`gaussian_diffusion.py:1002-1090`).
 
-    ``x_start`` is (B, T, J, 2) or already-flat (B, T, 26); targets/preds are
-    returned flat.  Velocity terms use the reference's hard-coded channel
-    groups (`:1075-1083`).  Returns per-batch ``mse`` (B,), scalar velocity
-    terms, and flat ``target`` / ``pred`` for external (masked/feature) losses.
+    MSE family: ``x_start`` is (B, T, J, 2) or already-flat (B, T, 26);
+    targets/preds are returned flat.  Velocity terms use the reference's
+    hard-coded channel groups (`:1075-1083`).  Returns per-batch ``mse`` (B,),
+    scalar velocity terms, and flat ``target`` / ``pred`` for external
+    (masked/feature) losses.  With a LEARNED/LEARNED_RANGE variance the VLB
+    term is returned as ``vb`` with the mean frozen (`:1037-1057`).
+
+    KL family (`:1023-1033`): returns the per-batch VLB term as ``loss``
+    (×num_timesteps for RESCALED_KL).
     """
     x_t = q_sample(sched, x_start, t, noise)
+
+    if loss_kind in (LossKind.KL, LossKind.RESCALED_KL):
+        out, _ = vb_terms_bpd(
+            sched, model_fn, x_start, x_t, t,
+            mean_type=mean_type, var_type=var_type, clip_denoised=False,
+        )
+        if loss_kind == LossKind.RESCALED_KL:
+            out = out * sched.num_timesteps
+        return {"loss": out}
+
     model_output = model_fn(x_t, model_timesteps(sched, t))
+
+    terms_extra: dict[str, jnp.ndarray] = {}
+    if var_type in (VarType.LEARNED, VarType.LEARNED_RANGE):
+        # learn the variance via the VLB without letting it move the mean
+        # prediction (`gaussian_diffusion.py:1044-1053`)
+        model_output, model_var_values = jnp.split(model_output, 2, axis=-1)
+        frozen = jnp.concatenate(
+            [jax.lax.stop_gradient(model_output), model_var_values], axis=-1
+        )
+        vb, _ = vb_terms_bpd(
+            sched, lambda *_: frozen, x_start, x_t, t,
+            mean_type=mean_type, var_type=var_type, clip_denoised=False,
+        )
+        if loss_kind == LossKind.RESCALED_MSE:
+            vb = vb * (sched.num_timesteps / 1000.0)  # (`:1054-1057`)
+        terms_extra["vb"] = vb
 
     if mean_type == MeanType.PREVIOUS_X:
         target = q_posterior_mean_variance(sched, x_start, x_t, t)[0]
@@ -310,5 +344,65 @@ def training_losses(
         "velocity": mean_flat((vel(target) - vel(model_output)) ** 2).mean(),
         "target": target,
         "pred": model_output,
+        **terms_extra,
     }
     return terms
+
+
+def prior_bpd(sched: DiffusionSchedule, x_start: jnp.ndarray) -> jnp.ndarray:
+    """Prior KL term of the VLB in bits-per-dim, per batch element
+    (`gaussian_diffusion.py:1092-1108`)."""
+    B = x_start.shape[0]
+    t = jnp.full((B,), sched.num_timesteps - 1, jnp.int32)
+    qt_mean, _, qt_log_var = q_mean_variance(sched, x_start, t)
+    kl = normal_kl(qt_mean, qt_log_var, 0.0, 0.0)
+    return mean_flat(kl) / jnp.log(2.0)
+
+
+def calc_bpd_loop(
+    sched: DiffusionSchedule,
+    model_fn: ModelFn,
+    x_start: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    mean_type: MeanType = MeanType.START_X,
+    var_type: VarType = VarType.FIXED_SMALL,
+    clip_denoised: bool = True,
+) -> dict[str, jnp.ndarray]:
+    """Full VLB in bits-per-dim (`gaussian_diffusion.py:1110-1165`).
+
+    The reference's T-iteration Python loop (T host dispatches, one fresh
+    noise draw each) becomes a single ``lax.scan`` over the time ladder —
+    one compiled program.  Returns ``total_bpd``/``prior_bpd`` (B,) and
+    ``vb``/``xstart_mse``/``mse`` (B, T) ordered t descending like the
+    reference (index 0 = t of T-1).
+    """
+    B = x_start.shape[0]
+
+    def step(carry_rng, t_scalar):
+        rng_t, rng_next = jax.random.split(carry_rng)
+        t = jnp.full((B,), t_scalar, jnp.int32)
+        noise = jax.random.normal(rng_t, x_start.shape, x_start.dtype)
+        x_t = q_sample(sched, x_start, t, noise)
+        out, pred_xstart = vb_terms_bpd(
+            sched, model_fn, x_start, x_t, t,
+            mean_type=mean_type, var_type=var_type, clip_denoised=clip_denoised,
+        )
+        eps = predict_eps_from_xstart(sched, x_t, t, pred_xstart)
+        return rng_next, (
+            out,
+            mean_flat((pred_xstart - x_start) ** 2),
+            mean_flat((eps - noise) ** 2),
+        )
+
+    ts = jnp.arange(sched.num_timesteps - 1, -1, -1)
+    _, (vb, xstart_mse, mse) = jax.lax.scan(step, rng, ts)
+
+    pb = prior_bpd(sched, x_start)
+    return {
+        "total_bpd": vb.sum(axis=0) + pb,
+        "prior_bpd": pb,
+        "vb": vb.T,
+        "xstart_mse": xstart_mse.T,
+        "mse": mse.T,
+    }

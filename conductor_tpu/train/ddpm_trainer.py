@@ -36,6 +36,7 @@ import optax
 
 from ..config import Config
 from ..diffusion import (
+    LossKind,
     MeanType,
     VarType,
     ddim_sample_loop,
@@ -96,6 +97,19 @@ class DDPMTrainer:
         self.sched = make_schedule(cfg.diffusion.schedule, cfg.diffusion.steps)
         self.mean_type = MeanType(cfg.diffusion.mean_type)
         self.var_type = VarType(cfg.diffusion.var_type)
+        self.loss_kind = LossKind(cfg.diffusion.loss_type)
+        # The 5-term trainer objective is defined on the MSE family, like the
+        # reference trainer (`ddpm_trainer.py:96` LossType.MSE).  KL training
+        # and learned variances are engine-level features
+        # (diffusion.training_losses handles all four LossKinds).
+        assert self.loss_kind in (LossKind.MSE, LossKind.RESCALED_MSE), (
+            f"DDPMTrainer supports mse/rescaled_mse; {self.loss_kind} is "
+            "available via diffusion.training_losses directly"
+        )
+        assert self.var_type in (VarType.FIXED_SMALL, VarType.FIXED_LARGE), (
+            "learned variances need a 2x-width denoiser head; the reference "
+            "uses FIXED_SMALL (`ddpm_trainer.py:95`)"
+        )
         if cfg.denoiser.train_layer_impl == "pallas_fused":
             assert cfg.denoiser.efficient_attention, \
                 "fused training layers implement linear attention only"
@@ -206,6 +220,7 @@ class DDPMTrainer:
         terms = training_losses(
             self.sched, model_fn, motion, t,
             noise.reshape(motion.shape), mean_type=self.mean_type,
+            var_type=self.var_type, loss_kind=self.loss_kind,
         )
         target, pred = terms["target"], terms["pred"]
 
@@ -257,10 +272,16 @@ class DDPMTrainer:
             - tcfg.lambda_elbow * loss_elbow
             + tcfg.lambda_head * terms["velocity_head"]
         )
+        # the reference always computes loss_mot_feat (`ddpm_trainer.py:236`);
+        # when lambda_feat == 0 we skip it for speed and log NaN (not a fake
+        # 0.0) so the observability deviation is explicit
+        feat_metric = (
+            jnp.full((), jnp.nan) if tcfg.lambda_feat == 0.0 else loss_feat
+        )
         metrics = {
             "loss": loss,
             "loss_mot_rec": loss_rec,
-            "loss_mot_feat": loss_feat,
+            "loss_mot_feat": feat_metric,
             "loss_velocity": terms["velocity"],
             "loss_elbow": loss_elbow,
             "loss_head": terms["velocity_head"],

@@ -239,3 +239,143 @@ class TestTimestepSamplers:
         state = ts.update_state(state, jnp.array([0, 0, 0]), jnp.array([1.0, 2.0, 3.0]))
         np.testing.assert_allclose(np.asarray(state.loss_history[0]), [2.0, 3.0])
         assert int(state.loss_counts[0]) == 2
+
+
+class TestVLBTooling:
+    """`_prior_bpd` / `calc_bpd_loop` / LossKind wiring
+    (`gaussian_diffusion.py:1002-1165`)."""
+
+    def _sched(self, steps=16):
+        return make_schedule("cosine", steps)
+
+    def test_prior_bpd_small_for_standard_normal_data(self, rng):
+        from conductor_tpu.diffusion import prior_bpd
+
+        sched = self._sched(64)
+        x = jax.random.normal(rng, (4, 30, 26))
+        pb = prior_bpd(sched, x)
+        assert pb.shape == (4,)
+        # q(x_T | x_0) is near-standard-normal after the full ladder, so the
+        # prior KL in bits should be tiny
+        assert float(pb.mean()) < 0.05
+
+    def test_prior_bpd_matches_hand_kl(self, rng):
+        from conductor_tpu.diffusion import prior_bpd
+
+        sched = self._sched(8)
+        x = jax.random.normal(rng, (2, 5, 4)) * 2.0
+        # hand formula: KL(N(sqrt(acp) x, 1-acp) || N(0, 1))
+        acp = float(sched.alphas_cumprod[-1])
+        mean = np.sqrt(acp) * np.asarray(x)
+        var = 1.0 - acp
+        kl = 0.5 * (-1.0 - np.log(var) + var + mean**2)
+        expected = kl.reshape(2, -1).mean(axis=1) / np.log(2.0)
+        np.testing.assert_allclose(np.asarray(prior_bpd(sched, x)), expected, rtol=1e-5)
+
+    def test_calc_bpd_loop_shapes_and_consistency(self, rng):
+        from conductor_tpu.diffusion import calc_bpd_loop
+
+        sched = self._sched(12)
+        x = jax.random.uniform(rng, (3, 10, 26))
+
+        def perfect_model(x_t, t):
+            # an oracle that always predicts the true x0
+            return jnp.broadcast_to(x, x_t.shape)
+
+        out = calc_bpd_loop(
+            sched, perfect_model, x, rng,
+            mean_type=MeanType.START_X, clip_denoised=False,
+        )
+        assert out["vb"].shape == (3, 12)
+        assert out["xstart_mse"].shape == (3, 12)
+        assert out["mse"].shape == (3, 12)
+        assert out["total_bpd"].shape == (3,)
+        np.testing.assert_allclose(
+            np.asarray(out["total_bpd"]),
+            np.asarray(out["vb"].sum(axis=1) + out["prior_bpd"]),
+            rtol=1e-5,
+        )
+        # the oracle's x0 MSE is exactly zero at every step
+        np.testing.assert_allclose(np.asarray(out["xstart_mse"]), 0.0, atol=1e-10)
+
+    def test_calc_bpd_loop_better_model_lower_bpd(self, rng):
+        from conductor_tpu.diffusion import calc_bpd_loop
+
+        sched = self._sched(12)
+        x = jax.random.uniform(rng, (3, 10, 26))
+
+        good = calc_bpd_loop(
+            sched, lambda x_t, t: jnp.broadcast_to(x, x_t.shape), x, rng,
+            clip_denoised=False,
+        )
+        bad = calc_bpd_loop(
+            sched, lambda x_t, t: jnp.zeros_like(x_t), x, rng,
+            clip_denoised=False,
+        )
+        assert float(good["total_bpd"].mean()) < float(bad["total_bpd"].mean())
+
+    def test_kl_loss_kinds(self, rng):
+        from conductor_tpu.diffusion import LossKind
+
+        sched = self._sched(16)
+        x = jax.random.uniform(rng, (2, 10, 26))
+        t = jnp.array([3, 9])
+        noise = jax.random.normal(jax.random.fold_in(rng, 1), x.shape)
+
+        def model(x_t, tt):
+            return x_t * 0.9  # arbitrary but deterministic
+
+        kl = training_losses(
+            sched, model, x, t, noise, loss_kind=LossKind.KL
+        )
+        rkl = training_losses(
+            sched, model, x, t, noise, loss_kind=LossKind.RESCALED_KL
+        )
+        assert kl["loss"].shape == (2,)
+        np.testing.assert_allclose(
+            np.asarray(rkl["loss"]),
+            np.asarray(kl["loss"]) * sched.num_timesteps,
+            rtol=1e-6,
+        )
+
+    def test_learned_range_vb_term(self, rng):
+        """LEARNED_RANGE: output splits in half, the vb term trains the
+        variance head, and the mse sees only the mean half
+        (`gaussian_diffusion.py:1037-1057`)."""
+        from conductor_tpu.diffusion import LossKind
+
+        sched = self._sched(16)
+        x = jax.random.uniform(rng, (2, 10, 26))
+        t = jnp.array([3, 9])
+        noise = jax.random.normal(jax.random.fold_in(rng, 1), x.shape)
+
+        def model(x_t, tt):
+            mean = x_t * 0.9
+            var_frac = jnp.zeros_like(x_t)  # mid-range interpolation
+            return jnp.concatenate([mean, var_frac], axis=-1)
+
+        terms = training_losses(
+            sched, model, x, t, noise,
+            var_type=VarType.LEARNED_RANGE, loss_kind=LossKind.MSE,
+        )
+        assert "vb" in terms and terms["vb"].shape == (2,)
+        assert terms["pred"].shape == x.shape
+        np.testing.assert_allclose(
+            np.asarray(terms["mse"]),
+            np.asarray(
+                ((x - q_sample(sched, x, t, noise) * 0.9) ** 2)
+                .reshape(2, -1)
+                .mean(axis=1)
+            ),
+            rtol=1e-5,
+        )
+
+        rescaled = training_losses(
+            sched, model, x, t, noise,
+            var_type=VarType.LEARNED_RANGE, loss_kind=LossKind.RESCALED_MSE,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rescaled["vb"]),
+            np.asarray(terms["vb"]) * (sched.num_timesteps / 1000.0),
+            rtol=1e-6,
+        )
