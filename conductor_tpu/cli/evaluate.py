@@ -31,6 +31,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max_clips", type=int, default=None)
     p.add_argument("--no_beats", action="store_true", help="skip beat-consistency (slow, host-side)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--single_device", action="store_true",
+                   help="disable mesh-sharded generation (default: shard "
+                        "waves across all devices)")
     return p
 
 
@@ -42,7 +45,13 @@ def main(argv=None) -> None:
     state = trainer.init_state(rng)
     state = CheckpointManager(os.path.join(args.run_dir, "ckpt")).restore(state)
 
-    evaluator = DiffusionEvaluator(trainer, batch_size=args.batch_size)
+    mesh = None
+    if not args.single_device and len(jax.devices()) > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(data=len(jax.devices()))
+        print(f"evaluating on a {len(jax.devices())}-device mesh")
+    evaluator = DiffusionEvaluator(trainer, batch_size=args.batch_size, mesh=mesh)
     result = evaluator.evaluate(
         state, args.data_root, split=args.split, num_steps=args.steps,
         max_clips=args.max_clips, rng=rng, compute_beats=not args.no_beats,

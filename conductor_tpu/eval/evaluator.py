@@ -39,10 +39,21 @@ class EvalResult:
 
 
 class DiffusionEvaluator:
-    """Generate on the test split and score against ground truth."""
+    """Generate on the test split and score against ground truth.
 
-    def __init__(self, trainer: DDPMTrainer, batch_size: int = 8):
+    With ``mesh`` set, each generation wave is sharded over the mesh's
+    ``data`` axis (batches padded to a multiple of the axis size), so a full
+    test-split sweep at 1000 steps uses every chip — the reference generates
+    clip-by-clip on one device (`eval_new_metrics.py:113-156`).
+    """
+
+    def __init__(self, trainer: DDPMTrainer, batch_size: int = 8, mesh=None):
         self.trainer = trainer
+        self.mesh = mesh
+        if mesh is not None:
+            dp = mesh.devices.size
+            # every wave must fill the data axis evenly; round up
+            batch_size = -(-batch_size // dp) * dp
         self.batch_size = batch_size
         # jitted: eager ST-GCN dispatch is one host round-trip per op —
         # unusable over remote/tunneled devices.
@@ -55,6 +66,22 @@ class DiffusionEvaluator:
     def _latents(self, state: TrainState, motion: jnp.ndarray) -> np.ndarray:
         """Frozen stage-1 ST-GCN 64-d latents (`eval_new_metrics.py:143-150`)."""
         return np.asarray(self._latents_fn(state.feat_variables, motion))
+
+    def _generate_wave(self, state, mel: np.ndarray, rng, num_steps):
+        """One generation wave; under a mesh, pads the batch to the data-axis
+        size and shards clips across devices (GSPMD partitions the jitted
+        sampler along the batch)."""
+        if self.mesh is None:
+            return self.trainer.generate(
+                state, jnp.asarray(mel), rng, num_steps=num_steps
+            )
+        from ..parallel import pad_to_multiple, shard_batch
+
+        dp = self.mesh.devices.size
+        mel_p, orig_len = pad_to_multiple(np.asarray(mel), dp)
+        (mel_s,) = shard_batch((mel_p,), self.mesh)
+        gen = self.trainer.generate(state, mel_s, rng, num_steps=num_steps)
+        return gen[:orig_len]
 
     def evaluate(
         self,
@@ -79,25 +106,29 @@ class DiffusionEvaluator:
         real_lat, gen_lat = [], []
         bc_real, bc_gen = [], []
 
-        for i0 in range(0, n, self.batch_size):
-            idxs = range(i0, min(i0 + self.batch_size, n))
-            mel = np.stack([ds[i][0] for i in idxs])
-            motion = np.stack([ds[i][1] for i in idxs])
-            gen = self.trainer.generate(
-                state, jnp.asarray(mel), jax.random.fold_in(rng, i0),
-                num_steps=num_steps,
-            )
-            B, T = gen.shape[0], gen.shape[1]
-            gen = np.asarray(gen).reshape(B, T, spec.n_joints, spec.joint_dim)
+        from contextlib import nullcontext
 
-            real_list.append(motion)
-            gen_list.append(gen)
-            real_lat.append(self._latents(state, jnp.asarray(motion)))
-            gen_lat.append(self._latents(state, jnp.asarray(gen)))
-            if compute_beats:
-                for b in range(B):
-                    bc_real.append(M.beat_consistency(motion[b], mel[b]))
-                    bc_gen.append(M.beat_consistency(gen[b], mel[b]))
+        with self.mesh if self.mesh is not None else nullcontext():
+            if self.mesh is not None:
+                from ..parallel import replicate
+
+                state = replicate(state, self.mesh)
+            for i0 in range(0, n, self.batch_size):
+                idxs = range(i0, min(i0 + self.batch_size, n))
+                mel = np.stack([ds[i][0] for i in idxs])
+                motion = np.stack([ds[i][1] for i in idxs])
+                gen = self._generate_wave(state, mel, jax.random.fold_in(rng, i0), num_steps)
+                B, T = gen.shape[0], gen.shape[1]
+                gen = np.asarray(gen).reshape(B, T, spec.n_joints, spec.joint_dim)
+
+                real_list.append(motion)
+                gen_list.append(gen)
+                real_lat.append(self._latents(state, jnp.asarray(motion)))
+                gen_lat.append(self._latents(state, jnp.asarray(gen)))
+                if compute_beats:
+                    for b in range(B):
+                        bc_real.append(M.beat_consistency(motion[b], mel[b]))
+                        bc_gen.append(M.beat_consistency(gen[b], mel[b]))
 
         real = np.concatenate(real_list)
         gen = np.concatenate(gen_list)

@@ -84,7 +84,7 @@ class M2SGANEvaluator:
     ) -> dict[str, float]:
         sd_real, sd_fake, wdist = [], [], []
         mse, mpe, rde, sce = [], [], [], []
-        real_lat, fake_lat = [], []
+        real_lat, fake_lat, fake_clip_lat = [], [], []
         beat_scores = []
         for i, (mel, real) in enumerate(batches):
             mel = np.asarray(mel)
@@ -110,6 +110,9 @@ class M2SGANEvaluator:
                 mpe.append(mean_perceptual_error(rl, fl))
                 real_lat += list(rl.reshape(-1, rl.shape[-1]))
                 fake_lat += list(fl.reshape(-1, fl.shape[-1]))
+                # per-CLIP latent sequences for Diversity — the reference
+                # shuffles whole clips, not frames (`M2SGAN_eval.py:292-308`)
+                fake_clip_lat += [fl[b] for b in range(fl.shape[0])]
 
             if with_beat:
                 for b in range(mel.shape[0]):
@@ -129,9 +132,7 @@ class M2SGANEvaluator:
             out["FGD"] = frechet_distance(
                 np.stack(real_lat), np.stack(fake_lat)
             )
-            out["Diversity"] = diversity_score(
-                [x[None] for x in fake_lat]
-            )
+            out["Diversity"] = diversity_score(fake_clip_lat)
         if beat_scores:
             out["BC"] = float(np.mean(beat_scores))
         return out

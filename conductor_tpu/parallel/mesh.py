@@ -65,12 +65,21 @@ def shard_batch(batch: Any, mesh: Mesh, seq_dims: dict[int, int] | None = None) 
     shard that axis over 'seq' (context parallelism): e.g. ``{3: 1, 4: 1}``
     shards mel (B, T90, M) and motion (B, T30, J, C) over time while leaving
     rank-1 arrays like m_lens data-sharded only.
+
+    Single-process: a plain sharded device_put of the global batch.
+    Multi-process (multi-slice/DCN): each host passes its LOCAL shard (from
+    ``BatchIterator(host_shard=True)``) and the global array is assembled
+    with `jax.make_array_from_process_local_data` — no host ever
+    materializes the full global batch (SURVEY.md §2.3 DDP equivalent).
     """
     seq_dims = seq_dims or {}
+    multiprocess = jax.process_count() > 1
 
     def place(x):
         axis = seq_dims.get(np.ndim(x))
         sh = batch_sharding(mesh, seq_axis=axis)
+        if multiprocess:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
         return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(place, batch)
@@ -90,4 +99,5 @@ def pad_to_multiple(x: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
     rem = (-n) % multiple
     if rem == 0:
         return x, n
-    return np.concatenate([x, x[:rem]], axis=0), n
+    reps = np.concatenate([x] * (-(-rem // n)), axis=0)[:rem]  # rem may exceed n
+    return np.concatenate([x, reps], axis=0), n

@@ -62,3 +62,34 @@ def test_m2sgan_evaluator_without_latents(batches):
     out = ev.evaluate(batches, with_beat=False)
     assert "FGD" not in out and "BC" not in out
     assert out["SDP"] == 0.0
+
+
+def test_m2sgan_diversity_is_per_clip(batches):
+    """Diversity must shuffle whole-clip latent sequences, matching the
+    reference (`M2SGAN_eval.py:292-308`) and the DiffusionEvaluator
+    formulation — not per-frame latents (r1 VERDICT weak #5)."""
+    from conductor_tpu.eval.metrics import diversity_score
+
+    def generate_fn(mel, rng):
+        B = mel.shape[0]
+        key = jax.random.fold_in(rng, 99)
+        return np.asarray(jax.random.uniform(key, (B, 300, 13, 2)))
+
+    def latents_fn(motion):
+        m = np.asarray(motion)
+        return m.reshape(m.shape[0], m.shape[1], -1) @ np.ones((26, 64)) / 26.0
+
+    ev = M2SGANEvaluator(generate_fn, latents_fn=latents_fn)
+    out = ev.evaluate(batches, with_beat=False)
+
+    # recompute the expected per-clip diversity by hand with the same rngs
+    clip_lat = []
+    for i, (mel, real) in enumerate(batches):
+        rng = jax.random.PRNGKey((0, i).__hash__() & 0x7FFFFFFF)
+        fl = latents_fn(generate_fn(np.asarray(mel), rng))
+        clip_lat += [fl[b] for b in range(fl.shape[0])]
+    np.testing.assert_allclose(out["Diversity"], diversity_score(clip_lat), rtol=1e-12)
+
+    # and it must differ from the old per-frame formulation
+    frame_lat = [x[None] for c in clip_lat for x in c]
+    assert not np.isclose(out["Diversity"], diversity_score(frame_lat))
