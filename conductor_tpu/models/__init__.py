@@ -1,4 +1,10 @@
-from .generator import Discriminator1DCNN, Generator, PoseDecoderTCN  # noqa: F401
+from .generator import (  # noqa: F401
+    Discriminator1DCNN,
+    Generator,
+    GeneratorCVPRLSTM,
+    PoseDecoderBiLSTM,
+    PoseDecoderTCN,
+)
 from .graph import build_adjacency  # noqa: F401
 from .tcn import DilatedTCN, TemporalBlock  # noqa: F401
 from .m2snet import M2SNet  # noqa: F401

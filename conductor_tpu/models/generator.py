@@ -45,11 +45,15 @@ class Generator(nn.Module):
 
     n_joints: int = 13
     freeze_music_encoder: bool = True
+    decoder_kind: str = "tcn"  # "tcn" | "bilstm" (`Generator.py:57-58`)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.music_encoder = MusicEncoder(dtype=self.dtype)
-        self.decoder = PoseDecoderTCN(self.n_joints * 2, dtype=self.dtype)
+        if self.decoder_kind == "bilstm":
+            self.decoder = PoseDecoderBiLSTM(self.n_joints * 2, dtype=self.dtype)
+        else:
+            self.decoder = PoseDecoderTCN(self.n_joints * 2, dtype=self.dtype)
         # noise upsampler x30 (strides 1*5*3*2), `Generator.py:59-64`; SAME
         # conv-transpose keeps L_out = L * stride exactly.
         self.up1 = nn.ConvTranspose(16, (3,), strides=(1,), padding="SAME", dtype=self.dtype)
@@ -98,6 +102,55 @@ class Generator(nn.Module):
     def features(self, mel: jnp.ndarray, noise: jnp.ndarray, train: bool = False):
         """The concatenated conditioning features (`Generator.py:79-86`)."""
         return self._hidden(mel, noise, train)
+
+
+class PoseDecoderBiLSTM(nn.Module):
+    """2-layer bidirectional LSTM decoder + MLP head + sigmoid
+    (`Generator.py:7-31`): hidden 128 per direction, inter-layer dropout 0.5
+    like torch's ``nn.LSTM(dropout=0.5)`` (applied between layers only).
+
+    This is the published CVPR-baseline comparator, not a TPU hot path — the
+    recurrent scan stays sequential by nature; the production generators are
+    the TCN (parallel convs) and the diffusion transformer.
+    """
+
+    output_size: int = 26
+    hidden: int = 128
+    num_layers: int = 2
+    dropout: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for layer in range(self.num_layers):
+            bidir = nn.Bidirectional(
+                nn.RNN(nn.OptimizedLSTMCell(self.hidden)),
+                nn.RNN(nn.OptimizedLSTMCell(self.hidden)),
+            )
+            x = bidir(x)  # (B, T, 2*hidden)
+            if self.dropout > 0 and layer < self.num_layers - 1:
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.relu(nn.Dense(64, dtype=self.dtype)(x))
+        x = nn.relu(nn.Dense(64, dtype=self.dtype)(x))
+        return nn.sigmoid(nn.Dense(self.output_size, dtype=self.dtype)(x))
+
+
+class GeneratorCVPRLSTM(nn.Module):
+    """The CVPR'22 VirtualConductor LSTM baseline (`Generator.py:89-100`):
+    a bare BiLSTM decoder over precomputed 20-d features; ``noise`` is
+    accepted and ignored to keep the Generator call signature."""
+
+    n_joints: int = 13
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, noise: jnp.ndarray | None = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        y = PoseDecoderBiLSTM(self.n_joints * 2, dtype=self.dtype)(x, train)
+        B, T, _ = y.shape
+        return y.reshape(B, T, self.n_joints, 2)
 
 
 class Discriminator1DCNN(nn.Module):

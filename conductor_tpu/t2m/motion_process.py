@@ -89,7 +89,104 @@ def recover_from_rot(
     return skeleton.forward_kinematics_cont6d(cont6d, r_pos.reshape(-1, 3))
 
 
-def extract_ric_features(
+# HumanML3D preprocessing constants.  The reference's `uniform_skeleton` /
+# `process_file` (`motion_process.py:13-35,156-326`) read these as module
+# globals that are never defined in the file (they come from the HumanML3D
+# notebook namespace — the functions NameError standalone); here they are
+# explicit, with the published HumanML3D values as defaults.
+T2M_LEFT_LEG = (5, 8)            # l_idx1, l_idx2
+T2M_FID_R = (8, 11)              # right-foot joints
+T2M_FID_L = (7, 10)              # left-foot joints
+T2M_FACE_JOINTS = (2, 1, 17, 16)  # r_hip, l_hip, sdr_r, sdr_l
+
+
+def uniform_skeleton(
+    positions: np.ndarray,
+    target_offset,
+    n_raw_offsets: np.ndarray,
+    kinematic_chain,
+    *,
+    face_joint_indx=T2M_FACE_JOINTS,
+    l_idx1: int = T2M_LEFT_LEG[0],
+    l_idx2: int = T2M_LEFT_LEG[1],
+) -> np.ndarray:
+    """Retarget a motion onto the canonical skeleton (`motion_process.py:13-35`):
+    scale the root trajectory by the leg-length ratio, IK to local
+    quaternions on the source bones, FK back on the target bones."""
+    positions = np.asarray(positions, dtype=np.float32)
+    skel = Skeleton(n_raw_offsets, kinematic_chain)
+    src_offset = np.asarray(skel.get_offsets_joints(jnp.asarray(positions[0])))
+    tgt_offset = np.asarray(target_offset, dtype=np.float32)
+
+    # scale = target leg length / source leg length
+    src_leg_len = np.abs(src_offset[l_idx1]).max() + np.abs(src_offset[l_idx2]).max()
+    tgt_leg_len = np.abs(tgt_offset[l_idx1]).max() + np.abs(tgt_offset[l_idx2]).max()
+    scale_rt = tgt_leg_len / src_leg_len
+    tgt_root_pos = positions[:, 0] * scale_rt
+
+    quat_params = skel.inverse_kinematics(positions, face_joint_indx)
+    skel.set_offset(tgt_offset)
+    new_joints = skel.forward_kinematics(quat_params, jnp.asarray(tgt_root_pos))
+    return np.asarray(new_joints)
+
+
+def process_file(
+    positions: np.ndarray,
+    feet_thre: float,
+    tgt_offsets,
+    n_raw_offsets: np.ndarray,
+    kinematic_chain,
+    *,
+    face_joint_indx=T2M_FACE_JOINTS,
+    fid_r=T2M_FID_R,
+    fid_l=T2M_FID_L,
+    l_idx1: int = T2M_LEFT_LEG[0],
+    l_idx2: int = T2M_LEFT_LEG[1],
+):
+    """Raw global joints (T, J, 3) -> the full HumanML3D feature pipeline
+    (`motion_process.py:156-326`): uniform skeleton, put on floor, root XZ to
+    origin, initial facing to Z+, then feature extraction.  Returns
+    ``(data, global_positions, local_positions, l_velocity)`` like the
+    reference."""
+    from .quaternion import qbetween
+
+    positions = uniform_skeleton(
+        positions, tgt_offsets, n_raw_offsets, kinematic_chain,
+        face_joint_indx=face_joint_indx, l_idx1=l_idx1, l_idx2=l_idx2,
+    )
+
+    # put on floor; root XZ at origin
+    positions = positions - np.array([0.0, positions[:, :, 1].min(), 0.0])
+    root_pos_init = positions[0]
+    positions = positions - root_pos_init[0] * np.array([1.0, 0.0, 1.0])
+
+    # rotate so the initial pose faces Z+
+    r_hip, l_hip, sdr_r, sdr_l = face_joint_indx
+    across = (root_pos_init[r_hip] - root_pos_init[l_hip]) + (
+        root_pos_init[sdr_r] - root_pos_init[sdr_l]
+    )
+    across = across / np.sqrt((across**2).sum())
+    forward_init = np.cross(np.array([0.0, 1.0, 0.0]), across)
+    forward_init = forward_init / np.sqrt((forward_init**2).sum())
+    root_quat_init = np.asarray(
+        qbetween(jnp.asarray(forward_init[None]), jnp.asarray([[0.0, 0.0, 1.0]]))
+    )
+    positions = np.asarray(
+        qrot(
+            jnp.broadcast_to(
+                jnp.asarray(root_quat_init), positions.shape[:-1] + (4,)
+            ),
+            jnp.asarray(positions),
+        )
+    )
+
+    return extract_features_full(
+        positions, feet_thre, n_raw_offsets, kinematic_chain,
+        face_joint_indx, fid_r, fid_l,
+    )
+
+
+def extract_features_full(
     positions: np.ndarray,
     feet_thre: float,
     n_raw_offsets: np.ndarray,
@@ -97,10 +194,9 @@ def extract_ric_features(
     face_joint_indx,
     fid_r,
     fid_l,
-) -> np.ndarray:
-    """Global joint positions (T, J, 3) -> (T-1, D) feature frames
-    (`motion_process.py:38-156` `extract_features`).  Host-side data prep —
-    runs once per clip offline, so numpy in/out with jnp math inside."""
+):
+    """`extract_features` with the reference `process_file`'s full return
+    tuple ``(data, global_positions, local_positions, l_velocity)``."""
     positions = np.asarray(positions, dtype=np.float32)
     global_positions = positions.copy()
 
@@ -149,7 +245,26 @@ def extract_ric_features(
     )
     local_vel = np.asarray(local_vel).reshape(len(positions) - 1, -1)
 
-    return np.concatenate(
+    data = np.concatenate(
         [root_data, ric_data[:-1], rot_data[:-1], local_vel, feet_l, feet_r],
         axis=-1,
     )
+    return data, global_positions, np.asarray(local), np.asarray(velocity)[:, [0, 2]]
+
+
+def extract_ric_features(
+    positions: np.ndarray,
+    feet_thre: float,
+    n_raw_offsets: np.ndarray,
+    kinematic_chain,
+    face_joint_indx,
+    fid_r,
+    fid_l,
+) -> np.ndarray:
+    """Global joint positions (T, J, 3) -> (T-1, D) feature frames
+    (`motion_process.py:38-153` `extract_features`).  Host-side data prep —
+    runs once per clip offline, so numpy in/out with jnp math inside."""
+    return extract_features_full(
+        positions, feet_thre, n_raw_offsets, kinematic_chain,
+        face_joint_indx, fid_r, fid_l,
+    )[0]

@@ -286,3 +286,46 @@ class TestDenseLaneFormulations:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-4
         )
+
+
+class TestLSTMGenerators:
+    """CVPR-baseline LSTM alternates (`Generator.py:7-31,89-100`)."""
+
+    def test_pose_decoder_bilstm_shapes(self, rng):
+        from conductor_tpu.models.generator import PoseDecoderBiLSTM
+
+        model = PoseDecoderBiLSTM(26)
+        x = jnp.zeros((2, 30, 128))
+        variables = model.init(rng, x)
+        y = model.apply(variables, x)
+        assert y.shape == (2, 30, 26)
+        assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0  # sigmoid
+
+    def test_generator_cvpr_lstm(self, rng):
+        from conductor_tpu.models.generator import GeneratorCVPRLSTM
+
+        model = GeneratorCVPRLSTM()
+        x = jnp.zeros((3, 60, 20))
+        variables = model.init(rng, x)
+        y = model.apply(variables, x)
+        assert y.shape == (3, 60, 13, 2)
+
+    def test_generator_bilstm_decoder(self, rng):
+        from conductor_tpu.models.generator import Generator
+
+        model = Generator(decoder_kind="bilstm")
+        mel = jnp.zeros((2, 90, 128))   # 1 s of mel -> T30 = 30
+        noise = jnp.zeros((2, 1, 8))    # one noise vector per second
+        variables = model.init(rng, mel, noise)
+        y = model.apply(variables, mel, noise)
+        assert y.shape == (2, 30, 13, 2)
+
+    def test_bilstm_dropout_needs_rng_only_in_train(self, rng):
+        from conductor_tpu.models.generator import PoseDecoderBiLSTM
+
+        model = PoseDecoderBiLSTM(26)
+        x = jnp.ones((1, 10, 16))
+        variables = model.init(rng, x)
+        y1 = model.apply(variables, x, True, rngs={"dropout": rng})
+        y2 = model.apply(variables, x, True, rngs={"dropout": jax.random.fold_in(rng, 1)})
+        assert not np.allclose(np.asarray(y1), np.asarray(y2))  # dropout active

@@ -280,3 +280,83 @@ class TestText2MotionDataset:
             np.zeros(263), np.ones(263), times=3,
         )
         assert len(ds) == 3
+
+
+class TestProcessFile:
+    """`uniform_skeleton` / `process_file` (`motion_process.py:13-35,156-326`)
+    — the last D15 gap."""
+
+    def _walking_motion(self, T=40):
+        """A synthetic global-joint motion: rest pose drifting in x with a
+        slow yaw and small per-joint wobble."""
+        skel = Skeleton(param_util.t2m_raw_offsets, param_util.t2m_kinematic_chain)
+        J = skel.njoints()
+        skel.set_offset(np.asarray(param_util.t2m_raw_offsets, np.float32) * 0.25)
+        rng = jax.random.PRNGKey(11)
+        q = qnormalize(
+            jnp.concatenate(
+                [jnp.ones((T, J, 1)), 0.03 * jax.random.normal(rng, (T, J, 3))],
+                axis=-1,
+            )
+        )
+        root = jnp.stack(
+            [jnp.linspace(0, 0.5, T), 0.9 + jnp.zeros(T), 0.1 * jnp.linspace(0, 1, T)],
+            axis=-1,
+        )
+        return np.asarray(skel.forward_kinematics(q, root))
+
+    def test_uniform_skeleton_retargets_bone_lengths(self):
+        from conductor_tpu.t2m.motion_process import uniform_skeleton
+
+        positions = self._walking_motion()
+        tgt = np.asarray(param_util.t2m_raw_offsets, np.float32) * 0.4
+        out = uniform_skeleton(
+            positions, tgt, param_util.t2m_raw_offsets,
+            param_util.t2m_kinematic_chain,
+        )
+        assert out.shape == positions.shape
+        # every bone in the output has the target skeleton's length
+        skel = Skeleton(param_util.t2m_raw_offsets, param_util.t2m_kinematic_chain)
+        parents = skel.parents()
+        for j in range(1, 22):
+            np.testing.assert_allclose(
+                np.linalg.norm(out[0, j] - out[0, parents[j]]),
+                np.linalg.norm(tgt[j]),
+                atol=1e-4,
+            )
+        # root trajectory scaled by the leg-length ratio (0.4/0.25)
+        np.testing.assert_allclose(
+            out[:, 0], positions[:, 0] * (0.4 / 0.25), atol=1e-5
+        )
+
+    def test_process_file_shapes_and_normalization(self):
+        from conductor_tpu.t2m.motion_process import process_file
+
+        positions = self._walking_motion(T=30)
+        tgt = np.asarray(param_util.t2m_raw_offsets, np.float32) * 0.25
+        data, glob, local, l_vel = process_file(
+            positions, 0.002, tgt, param_util.t2m_raw_offsets,
+            param_util.t2m_kinematic_chain,
+        )
+        T, J = 30, 22
+        assert data.shape == (T - 1, 4 + (J - 1) * 3 + (J - 1) * 6 + J * 3 + 4)
+        assert glob.shape == (T, J, 3)
+        assert l_vel.shape == (T - 1, 2)
+        # put on floor: min y == 0; root starts at XZ origin
+        np.testing.assert_allclose(glob[:, :, 1].min(), 0.0, atol=1e-5)
+        np.testing.assert_allclose(glob[0, 0, [0, 2]], 0.0, atol=1e-5)
+        assert np.isfinite(data).all()
+
+    def test_process_file_recover_roundtrip(self):
+        """recover_from_ric inverts the feature extraction to tolerance."""
+        from conductor_tpu.t2m.motion_process import process_file, recover_from_ric
+
+        positions = self._walking_motion(T=30)
+        tgt = np.asarray(param_util.t2m_raw_offsets, np.float32) * 0.25
+        data, glob, _, _ = process_file(
+            positions, 0.002, tgt, param_util.t2m_raw_offsets,
+            param_util.t2m_kinematic_chain,
+        )
+        rec = np.asarray(recover_from_ric(jnp.asarray(data), 22))
+        # yaw integration accumulates small drift; the pose itself must match
+        np.testing.assert_allclose(rec, glob[: len(rec)], atol=0.08)
