@@ -97,6 +97,12 @@ def main(argv=None) -> None:
             it += 1
             logger.log(it, metrics, epoch=epoch)
         if epoch % args.evaluate_epoch == 0:
+            # real-vs-generated trace plot, the reference's per-eval image
+            # dump (`M2SGAN_eval.py:150-181` via `train_utils.plot_motion`)
+            sample = next(iter(loader), None)
+            if sample is not None:
+                fake = trainer.generate(state, sample[0][:1], rng)
+                logger.log_motion_plot(it, fake, sample[1][:1])
             ckpt.save(it, state, wait=True)
     ckpt.save(it, state, wait=True)
     logger.close()

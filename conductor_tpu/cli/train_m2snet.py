@@ -93,6 +93,14 @@ def main(argv=None) -> None:
                     r = trainer.evaluate(state, (batch[0], batch[1]), rng, s)
                     evals[f"acc_{s}"] = r["accuracy"]
                 print(f"eval@{epoch}: " + " ".join(f"{k}={v:.5f}" for k, v in evals.items()))
+                # encoder feature-map images, the reference's per-eval
+                # training-health dump (`M2SNet_eval.py:110-116`)
+                mfeats, yfeats = trainer.model.apply(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    np.asarray(batch[0][:1]), np.asarray(batch[1][:1]),
+                    method=trainer.model.features,
+                )
+                logger.log_feature_maps(it, mfeats, yfeats)
             ckpt.save(it, state, wait=True)
     ckpt.save(it, state, wait=True)
     logger.close()

@@ -141,3 +141,37 @@ class TestViz:
         frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
         cap.release()
         assert frames == 10
+
+
+class TestImageLogging:
+    """MetricLogger image surface (`M2SNet_eval.py:97-116`,
+    `train_utils.py:104-150` equivalents)."""
+
+    def test_feature_map_image(self):
+        from conductor_tpu.utils.logging import feature_map_image
+
+        img = feature_map_image(np.random.rand(1, 90, 64).astype(np.float32))
+        assert img.shape == (64, 90, 3) and img.dtype == np.uint8
+
+    def test_motion_plot_image(self):
+        from conductor_tpu.utils.logging import motion_plot_image
+
+        fake = np.random.rand(1, 60, 13, 2).astype(np.float32)
+        real = np.random.rand(1, 60, 13, 2).astype(np.float32)
+        img = motion_plot_image(fake, real)
+        assert img.ndim == 3 and img.shape[-1] == 3 and img.dtype == np.uint8
+
+    def test_logger_writes_pngs(self, tmp_path):
+        from conductor_tpu.utils.logging import MetricLogger, feature_map_image
+
+        logger = MetricLogger(str(tmp_path))
+        logger.log_image(3, "test/map", feature_map_image(np.random.rand(30, 16)))
+        logger.log_feature_maps(
+            7,
+            [np.random.rand(1, 30, 8) for _ in range(2)],
+            [np.random.rand(1, 30, 8) for _ in range(3)],
+        )
+        logger.close()
+        imgs = os.listdir(tmp_path / "images")
+        assert any(f.startswith("test_map_") and f.endswith(".png") for f in imgs)
+        assert any("Music_feature" in f for f in imgs)
