@@ -131,11 +131,19 @@ def make_synthetic_dataset(
     num_clips: int = 4,
     spec: DatasetSpec = DatasetSpec(),
     seed: int = 0,
+    correlated: bool = False,
 ) -> str:
     """Write a tiny synthetic ConductorMotion100-shaped dataset (for tests,
     benches, and smoke training).  Motion is smooth sinusoidal keypoints in
-    [0, 1] (the dataset's normalization, reference `README.md:73-84`); mel is
-    band-limited noise in [0, 1]."""
+    [0, 1] (the dataset's normalization, reference `README.md:73-84`).
+
+    ``correlated=False``: mel is pure noise — shape-correct but with ZERO
+    music<->motion mutual information (fine for unit tests; the contrastive
+    task is unlearnable by construction).  ``correlated=True``: each clip
+    gets a beat frequency; the motion oscillates at it and the mel carries
+    energy bursts at the beats plus a speed-following envelope — so sync
+    learning, conditioning, and beat metrics have real signal (used by
+    scripts/run_e2e_demo.py)."""
     rng = np.random.default_rng(seed)
     s = spec
     for i in range(num_clips):
@@ -143,11 +151,26 @@ def make_synthetic_dataset(
         os.makedirs(folder, exist_ok=True)
         T90 = s.clip_seconds * s.mel_hz
         T30 = s.clip_seconds * s.motion_hz
-        mel = rng.random((T90, s.mel_bins)).astype(np.float32)
-        t = np.arange(T30)[:, None, None] / s.motion_hz
-        phase = rng.random((1, s.n_joints, s.joint_dim)) * 2 * np.pi
-        freq = 0.5 + rng.random((1, s.n_joints, s.joint_dim))
-        motion = 0.5 + 0.25 * np.sin(2 * np.pi * freq * t + phase)
+        t30 = np.arange(T30)[:, None, None] / s.motion_hz
+        if correlated:
+            beat_hz = 0.8 + 1.5 * rng.random()
+            phase = rng.random((1, s.n_joints, s.joint_dim)) * 2 * np.pi
+            # every joint moves at the clip's beat rate (+ a weak harmonic)
+            motion = 0.5 + 0.2 * np.sin(2 * np.pi * beat_hz * t30 + phase)
+            motion += 0.05 * np.sin(2 * np.pi * 2 * beat_hz * t30 + 2 * phase)
+            t90 = np.arange(T90) / s.mel_hz
+            pulse = np.maximum(0.0, np.sin(2 * np.pi * beat_hz * t90)) ** 8
+            band = np.exp(
+                -0.5 * ((np.arange(s.mel_bins) - 30 - 40 * rng.random()) / 8.0) ** 2
+            )
+            mel = 0.25 * rng.random((T90, s.mel_bins))
+            mel += 0.75 * pulse[:, None] * band[None, :]
+            mel = np.clip(mel, 0.0, 1.0).astype(np.float32)
+        else:
+            mel = rng.random((T90, s.mel_bins)).astype(np.float32)
+            phase = rng.random((1, s.n_joints, s.joint_dim)) * 2 * np.pi
+            freq = 0.5 + rng.random((1, s.n_joints, s.joint_dim))
+            motion = 0.5 + 0.25 * np.sin(2 * np.pi * freq * t30 + phase)
         np.save(os.path.join(folder, "mel.npy"), mel)
         np.save(os.path.join(folder, "motion.npy"), motion.astype(np.float32))
     return root
@@ -156,7 +179,17 @@ def make_synthetic_dataset(
 class BatchIterator:
     """Shuffling, epoch-seeded host batch iterator (replaces torch DataLoader
     + DistributedSampler; under pjit one *global* batch is assembled and
-    sharded over the mesh, so there is no per-rank subsampling to manage)."""
+    sharded over the mesh, so there is no per-rank subsampling to manage).
+
+    Multi-host (multi-slice/DCN): with ``host_shard=True``, ``batch_size``
+    stays the GLOBAL batch and each host loads only its contiguous
+    ``batch_size / process_count`` row-slice of every batch — the epoch
+    permutation is identical on all hosts (same seed), so the slices are
+    disjoint and exhaustive, the TPU analogue of the reference's rank-strided
+    `DistributedSampler` (`datasets/dataloader.py:16-53`).  Feed the local
+    shards through `parallel.shard_batch`, which assembles the global jax
+    Array with `make_array_from_process_local_data`.
+    """
 
     def __init__(
         self,
@@ -166,6 +199,9 @@ class BatchIterator:
         drop_last: bool = True,
         seed: int = 0,
         times: int = 1,
+        host_shard: bool = False,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -178,6 +214,20 @@ class BatchIterator:
         # here (the reference documents it but `Music2MotionDataset` ignores
         # it, SURVEY.md §7.4).
         self.times = times
+        if host_shard:
+            import jax
+
+            self.pidx = jax.process_index() if process_index is None else process_index
+            self.pcount = jax.process_count() if process_count is None else process_count
+            assert batch_size % self.pcount == 0, (
+                f"global batch {batch_size} must divide process_count {self.pcount}"
+            )
+        else:
+            self.pidx, self.pcount = 0, 1
+
+    @property
+    def local_batch_size(self) -> int:
+        return self.batch_size // self.pcount
 
     def __len__(self):
         n = len(self.ds) * self.times
@@ -189,14 +239,15 @@ class BatchIterator:
         if self.shuffle:
             np.random.default_rng((self.seed, self.epoch)).shuffle(order)
         self.ds.set_epoch(self.epoch)
-        batch = []
-        for idx in order:
-            batch.append(self.ds[int(idx)])
-            if len(batch) == self.batch_size:
-                yield self._collate(batch)
-                batch = []
-        if batch and not self.drop_last:
-            yield self._collate(batch)
+        lo = self.pidx * self.local_batch_size
+        hi = lo + self.local_batch_size
+        for b0 in range(0, len(order) - self.batch_size + 1, self.batch_size):
+            # only this host's row-slice of the global batch is ever loaded
+            idxs = order[b0 + lo : b0 + hi]
+            yield self._collate([self.ds[int(i)] for i in idxs])
+        rem = len(order) % self.batch_size
+        if rem and not self.drop_last and self.pcount == 1:
+            yield self._collate([self.ds[int(i)] for i in order[-rem:]])
         self.epoch += 1
 
     @staticmethod

@@ -79,3 +79,42 @@ def test_times_duplication(dataset_root, native):
     ds = ConductorMotionDataset(dataset_root, "train", sample_length=20, mode="random")
     it = native.NativeBatchIterator(ds, batch_size=3, times=4, shuffle=True)
     assert len(it) == 3 * 4 // 3
+
+
+class TestHostShardedIterator:
+    """Per-host sharded input loading (multi-slice story, SURVEY §2.3)."""
+
+    def test_disjoint_exhaustive_slices(self, tmp_path):
+        from conductor_tpu.data import BatchIterator, ConductorMotionDataset
+        from conductor_tpu.data.dataset import make_synthetic_dataset
+
+        root = str(tmp_path / "cm")
+        make_synthetic_dataset(root, "train", num_clips=8)
+        ds = ConductorMotionDataset(root, "train", sample_length=60, mode="sequential")
+
+        # simulate 4 hosts over a global batch of 8
+        shards = []
+        for pidx in range(4):
+            it = BatchIterator(
+                ds, 8, seed=5, host_shard=True,
+                process_index=pidx, process_count=4,
+            )
+            assert it.local_batch_size == 2
+            batches = list(it)
+            assert len(batches) == len(it) == 1
+            shards.append(batches[0])
+
+        # union of host slices == the single-process global batch, in order
+        whole = list(BatchIterator(ds, 8, seed=5))[0]
+        mel_union = np.concatenate([s[0] for s in shards])
+        np.testing.assert_array_equal(mel_union, whole[0])
+
+    def test_host_shard_requires_divisibility(self, tmp_path):
+        from conductor_tpu.data import BatchIterator, ConductorMotionDataset
+        from conductor_tpu.data.dataset import make_synthetic_dataset
+
+        root = str(tmp_path / "cm2")
+        make_synthetic_dataset(root, "train", num_clips=4)
+        ds = ConductorMotionDataset(root, "train", sample_length=60, mode="sequential")
+        with pytest.raises(AssertionError):
+            BatchIterator(ds, 7, host_shard=True, process_index=0, process_count=4)
