@@ -98,6 +98,9 @@ def main(argv=None) -> None:
 
     def _request_stop(signum, frame):
         stop_requested.append(signum)
+        # restore the previous handler so a SECOND Ctrl-C/SIGTERM force-exits
+        # (e.g. out of a hung compile) instead of being swallowed
+        signal.signal(signum, prev_handlers[signum])
 
     prev_handlers = {
         s: signal.signal(s, _request_stop) for s in (signal.SIGTERM, signal.SIGINT)
@@ -199,6 +202,9 @@ def main(argv=None) -> None:
                 if stop_requested:
                     break
             if stop_requested:
+                if profiling:  # don't leave a truncated trace open
+                    jax.profiler.stop_trace()
+                    profiling = False
                 ckpt.save(it, state, wait=True)
                 print(f"stop requested (signal {stop_requested[0]}): saved "
                       f"step {it}; resume with --continue")

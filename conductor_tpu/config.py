@@ -73,6 +73,12 @@ class DenoiserConfig:
     music_encoder_impl: str = "flax"  # "flax" | "pallas" — frozen-encoder impl for
                                       # generation/eval (fused conv kernels,
                                       # ops/pallas_conv.py; <2% feature drift at bf16)
+    sampler_vpu_dtype: str = "float32"  # "float32" | "bfloat16" — elementwise/
+                                      # transcendental dtype inside the fused
+                                      # sampling kernels (softmax exps, silu,
+                                      # gelu; LN stats + time softmax stay f32).
+                                      # bf16 = opt-in serving fast path; see
+                                      # tests/test_fused_denoiser.py bound
 
     @property
     def time_embed_dim(self) -> int:

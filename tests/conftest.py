@@ -36,3 +36,34 @@ def rng():
 @pytest.fixture(autouse=True)
 def _np_seed():
     np.random.seed(0)
+
+
+# ---------------------------------------------------------------- markers
+# Two-tier suite: `pytest -m "not slow"` is the sub-minute smoke tier for
+# iteration; the full suite (default) is what CI/the driver runs.
+_SLOW_MODULES = {
+    "test_train_e2e",        # jitted train loops + shard-vs-single parity
+    "test_fused_train_path", # whole-layer custom_vjp kernels (interpret mode)
+    "test_fused_denoiser",
+    "test_pallas_layer_bwd",
+    "test_pallas_attention",
+    "test_pallas_conv",
+    "test_pallas_stgcn",
+    "test_pallas_pool",
+    "test_cli",              # full CLI train/eval/visualize round trips
+    "test_stage1_eval",
+    "test_stage1",
+    "test_seq_parallel",
+    "test_torch_import",     # full-size M2SNet forward on CPU
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: heavy integration/kernel tests")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__ if item.module else ""
+        if mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

@@ -129,3 +129,26 @@ def test_fused_ddim_fast_path_matches_generic():
     np.testing.assert_allclose(
         np.asarray(out_fast), np.asarray(out_ref), atol=5e-4
     )
+
+
+def test_fused_bf16_vpu_bounded_drift(setup):
+    """sampler_vpu_dtype='bfloat16' (serving fast path): the denoiser output
+    must stay within bf16-resolution drift of the exact f32-VPU path —
+    transcendentals run packed-bf16 while LN stats and the time softmax stay
+    f32 (ops/pallas_layer._layer_body docstring)."""
+    cfg, model, variables, mel, x, t = setup
+    xf_proj, xf_out = model.apply(variables, mel, method=model.encode_music)
+    cond = model.apply(variables, xf_proj, xf_out, method=model.precompute_cond)
+
+    exact = FusedDenoiser(variables["params"], cfg)
+    fast_cfg = cfg.replace(
+        denoiser=dataclasses.replace(cfg.denoiser, sampler_vpu_dtype="bfloat16")
+    )
+    fast = FusedDenoiser(variables["params"], fast_cfg)
+
+    ref = np.asarray(exact(x, t, exact.prepare_cond(cond)))
+    got = np.asarray(fast(x, t, fast.prepare_cond(cond)))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() <= 0.02 * scale, (
+        f"bf16-vpu drift {np.abs(got - ref).max():.4g} vs scale {scale:.4g}"
+    )
