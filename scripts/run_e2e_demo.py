@@ -1,0 +1,135 @@
+"""End-to-end quality-pipeline demonstration through the real CLIs.
+
+Stage-1 contrastive training -> stage-2 diffusion training (with the
+cross-stage encoder graft) -> full metric evaluation -> artifact JSONs,
+exactly the reference's workflow (`Contrastive_Stage/README.md` then
+`Diffusion_Stage/README.md` then `tools/eval_new_metrics.py:342-390`) —
+exercised on the synthetic ConductorMotion100 stand-in (no real dataset in
+this image; see docs/E2E_RUN.md).
+
+    python scripts/run_e2e_demo.py [--out docs/e2e_run] [--work /tmp/e2e]
+
+Writes <out>/m2snet_eval.json, <out>/eval_test.json, <out>/run_meta.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/conductor_tpu_jax_cache")
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="docs/e2e_run")
+    ap.add_argument("--work", default="/tmp/e2e_demo")
+    ap.add_argument("--train_clips", type=int, default=24)
+    ap.add_argument("--test_clips", type=int, default=6)
+    ap.add_argument("--stage1_epochs", type=int, default=16)
+    ap.add_argument("--stage2_epochs", type=int, default=30)
+    args = ap.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    os.makedirs(args.work, exist_ok=True)
+    t0 = time.time()
+
+    from conductor_tpu.data.dataset import make_synthetic_dataset
+
+    data_root = os.path.join(args.work, "cm100_synth")
+    if not os.path.isdir(os.path.join(data_root, "train")):
+        make_synthetic_dataset(data_root, "train", num_clips=args.train_clips, correlated=True)
+        make_synthetic_dataset(data_root, "test", num_clips=args.test_clips, seed=1, correlated=True)
+    print(f"[1/5] dataset: {args.train_clips} train / {args.test_clips} test clips")
+
+    # ---- stage 1: M2SNet contrastive training (real CLI) ----------------
+    from conductor_tpu.cli.train_m2snet import main as m2snet_main
+
+    ckpts = os.path.join(args.work, "checkpoints")
+    m2snet_main([
+        "--data_root", data_root, "--checkpoints_dir", ckpts,
+        "--mode", "hard", "--epochs", str(args.stage1_epochs),
+        "--batch_size", "4", "--sample_length", "30", "--clip_length", "10",
+        "--evaluate_epoch", "2",
+    ])
+    m2snet_dir = os.path.join(ckpts, "M2SNet", "M2SNet_hard")
+    print(f"[2/5] stage-1 trained -> {m2snet_dir}")
+
+    # stage-1 eval sweep (M2SNet_eval.py analogue) on the test split
+    from conductor_tpu.data import BatchIterator, ConductorMotionDataset
+    from conductor_tpu.eval.stage1 import M2SNetEvaluator
+    from conductor_tpu.train import CheckpointManager, M2SNetTrainer
+
+    trainer1 = M2SNetTrainer(sample_length=30, clip_length=10)
+    state1 = trainer1.init_state(jax.random.PRNGKey(0))
+    state1 = CheckpointManager(os.path.join(m2snet_dir, "ckpt")).restore(state1)
+    test_ds = ConductorMotionDataset(data_root, "test", sample_length=30, mode="sequential")
+    test_batches = [
+        (b[0], b[1]) for b in BatchIterator(test_ds, 4, shuffle=False, seed=0)
+    ]
+    s1_eval = M2SNetEvaluator(trainer1).evaluate(state1, test_batches[:4])
+    with open(os.path.join(args.out, "m2snet_eval.json"), "w") as f:
+        json.dump(s1_eval, f, indent=2)
+    print(f"[3/5] stage-1 eval: "
+          + " ".join(f"{s}={m['accuracy']:.3f}" for s, m in s1_eval.items()))
+
+    # ---- stage 2: diffusion training with the encoder graft (real CLI) --
+    from conductor_tpu.cli.train import main as train_main
+
+    train_main([
+        "--data_root", data_root, "--name", "e2e_demo",
+        "--checkpoints_dir", ckpts, "--stage1_ckpt", os.path.join(m2snet_dir, "ckpt"),
+        "--batch_size", "8", "--epochs", str(args.stage2_epochs),
+        "--diffusion_steps", "50", "--schedule", "cosine",
+        "--sample_length", "10", "--latent_dim", "64", "--ff_size", "32",
+        "--num_layers", "4", "--num_heads", "4", "--save_latest", "50",
+    ])
+    run_dir = os.path.join(ckpts, "ConductorMotion100", "e2e_demo")
+    print(f"[4/5] stage-2 trained -> {run_dir}")
+
+    # ---- full metric evaluation (real CLI) -------------------------------
+    from conductor_tpu.cli.evaluate import main as eval_main
+
+    eval_main([
+        "--run_dir", run_dir, "--data_root", data_root,
+        "--steps", "50", "--batch_size", str(args.test_clips),
+    ])
+    with open(os.path.join(run_dir, "eval_test.json")) as f:
+        report = json.load(f)
+    with open(os.path.join(args.out, "eval_test.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+    # training curve summary from metrics.jsonl
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    first = np.mean([r["loss"] for r in recs[:10]])
+    last = np.mean([r["loss"] for r in recs[-10:]])
+
+    meta = {
+        "wall_clock_s": round(time.time() - t0, 1),
+        "backend": "cpu (synthetic data; no real ConductorMotion100 in image)",
+        "stage2_loss_first10_mean": round(float(first), 5),
+        "stage2_loss_last10_mean": round(float(last), 5),
+        "stage2_steps": recs[-1]["step"],
+        "commands": "see docs/E2E_RUN.md",
+    }
+    with open(os.path.join(args.out, "run_meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    print(f"[5/5] eval: FGD={report['fgd']:.3f} div={report['diversity']:.3f} "
+          f"BC_gen={report['beat_consistency_generated']:.3f} "
+          f"mse={report['mse']:.5f}; loss {first:.4f} -> {last:.4f} "
+          f"({meta['wall_clock_s']} s total)")
+
+
+if __name__ == "__main__":
+    main()
