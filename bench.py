@@ -48,7 +48,13 @@ def main() -> None:
     state = trainer.init_state(rng)
 
     n_chips = len(jax.devices())
-    B = max(1, n_chips)  # one clip per chip; single chip -> B=1
+    # 4 clips per chip: the eval-sweep serving shape (the reference's real
+    # use of this workload is scoring whole test splits,
+    # `eval_new_metrics.py:113-156`, and `cli.evaluate` batches waves the
+    # same way).  Measured on v5e: B=1 9.5k, B=2 10.4k, B=4 11.1k
+    # frames/s/chip — deeper matmuls amortize the per-step serialized VPU
+    # chain (see NOTES.md "Sampling MFU investigation").
+    B = max(1, n_chips) * 4
     T90 = cfg.dataset.clip_seconds * cfg.dataset.mel_hz    # 5400
     T30 = cfg.dataset.clip_seconds * cfg.dataset.motion_hz  # 1800
     mel = jax.random.uniform(rng, (B, T90, cfg.dataset.mel_bins))

@@ -132,6 +132,17 @@ def import_diffusion_cmd(args) -> None:
         batch_stats=variables["batch_stats"],
     )
 
+    if not args.skip_optimizer:
+        from ..interop.torch_import import graft_adam_state, load_diffusion_optimizer
+
+        imported_opt = load_diffusion_optimizer(args.input)
+        if imported_opt is not None:
+            mu, nu, count = imported_opt
+            state = state.replace(
+                opt_state=graft_adam_state(state.opt_state, mu, nu, count)
+            )
+            print(f"imported Adam moments (count={count})")
+
     os.makedirs(args.output, exist_ok=True)
     cfg.save(os.path.join(args.output, "config.json"))
     _save_ckpt(args.output, meta["total_it"], state)
@@ -167,6 +178,8 @@ def main(argv=None) -> None:
     pd.add_argument("--stage1_pt", default=None,
                     help="M2SNet .pt for the perceptual ST-GCN graft")
     pd.add_argument("--num_heads", type=int, default=8)
+    pd.add_argument("--skip_optimizer", action="store_true",
+                    help="don't import Adam moments from opt_encoder")
     pd.set_defaults(fn=import_diffusion_cmd)
 
     args = p.parse_args(argv)

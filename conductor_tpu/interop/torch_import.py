@@ -348,6 +348,108 @@ def load_diffusion_tar(path: str) -> tuple[dict[str, Array], dict[str, Any]]:
     return enc, meta
 
 
+_BUFFER_SUFFIXES = ("running_mean", "running_var", "num_batches_tracked")
+
+
+def parameter_names(sd: SD) -> list[str]:
+    """The torch ``named_parameters()`` order for a MotionTransformer state
+    dict: state-dict order minus buffers.  This is the index contract of
+    ``optimizer.state_dict()['param_groups'][0]['params']`` (torch enumerates
+    ``model.parameters()`` in registration order)."""
+    return [
+        k for k in sd
+        if not any(k.endswith(s) for s in _BUFFER_SUFFIXES)
+        and not k.endswith(".A")
+    ]
+
+
+def import_adam_state(
+    opt_sd: Mapping[str, Any], enc_sd: SD
+) -> tuple[dict[str, Any], dict[str, Any], int]:
+    """Stage-2 tar ``opt_encoder`` (torch Adam state dict) -> (mu, nu, count)
+    flax trees matching `import_motion_transformer`'s params structure
+    (`trainers/ddpm_trainer.py:290-319` saves it; the reference restores
+    optimizer momentum on resume, `:303-319`).
+
+    Adam moments are elementwise, so every weight-layout transform commutes
+    with them: we build two moment-valued state dicts (zeros where torch has
+    no state — e.g. the frozen music encoder never receives grads) and run
+    them through the SAME importer as the weights.
+    """
+    enc_sd = strip_module_prefix(enc_sd)
+    names = parameter_names(enc_sd)
+    state = opt_sd.get("state", {})
+    order = opt_sd.get("param_groups", [{}])[0].get(
+        "params", list(range(len(names)))
+    )
+
+    mu_sd: dict[str, Array] = {}
+    nu_sd: dict[str, Array] = {}
+    count = 0
+    for k, v in enc_sd.items():  # start from zeros everywhere
+        mu_sd[k] = np.zeros_like(_np(v)) if k in names else _np(v)
+        nu_sd[k] = np.zeros_like(_np(v)) if k in names else _np(v)
+    for pos, idx in enumerate(order):
+        ent = state.get(idx, state.get(str(idx)))
+        if ent is None or pos >= len(names):
+            continue
+        name = names[pos]
+        mu_sd[name] = _np(ent["exp_avg"])
+        nu_sd[name] = _np(ent["exp_avg_sq"])
+        count = max(count, int(np.asarray(ent["step"]).item()))
+
+    mu = import_motion_transformer(mu_sd)["params"]
+    nu = import_motion_transformer(nu_sd)["params"]
+    return mu, nu, count
+
+
+def load_diffusion_optimizer(path: str):
+    """Pull (mu, nu, count) out of a ``latest.tar`` file; returns None when
+    the tar carries no optimizer state."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    opt_sd = obj.get("opt_encoder")
+    if not opt_sd or not opt_sd.get("state"):
+        return None
+    enc = {k: v.detach().cpu().numpy() for k, v in obj["encoder"].items()}
+
+    def _tonp(x):
+        return x.detach().cpu().numpy() if hasattr(x, "detach") else x
+
+    opt_np = {
+        "state": {
+            k: {kk: _tonp(vv) for kk, vv in v.items()}
+            for k, v in opt_sd["state"].items()
+        },
+        "param_groups": opt_sd.get("param_groups", []),
+    }
+    return import_adam_state(opt_np, enc)
+
+
+def graft_adam_state(opt_state: Any, mu: Any, nu: Any, count: int) -> Any:
+    """Replace the ScaleByAdamState inside an optax chain state (e.g.
+    ``chain(clip_by_global_norm, adam)``) with imported moments."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    def visit(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return node._replace(  # NamedTuple
+                count=jnp.asarray(count, jnp.int32),
+                mu=jax.tree.map(jnp.asarray, mu),
+                nu=jax.tree.map(jnp.asarray, nu),
+            )
+        if isinstance(node, tuple) and not hasattr(node, "_fields"):
+            return tuple(visit(c) for c in node)
+        if isinstance(node, tuple):  # other NamedTuples: recurse fields
+            return type(node)(*(visit(c) for c in node))
+        return node
+
+    return visit(opt_state)
+
+
 def assert_matches_template(imported: Any, template: Any, path: str = "") -> None:
     """Structural check: the imported tree must have exactly the template's
     leaves (names + shapes).  Raises with the full diff on mismatch."""

@@ -254,3 +254,85 @@ def test_import_cli_diffusion(tmp_path, transformer_fixture):
     np.testing.assert_allclose(
         np.asarray(out_full), fx["out_full"], atol=5e-4, rtol=1e-3
     )
+
+
+def test_adam_state_import(transformer_fixture):
+    """Optimizer resume from the stage-2 tar: torch Adam moments land on the
+    matching flax leaves with the weight-layout transforms applied
+    (`ddpm_trainer.py:303-319` restores optimizer state on resume)."""
+    from conductor_tpu.interop.torch_import import (
+        import_adam_state,
+        parameter_names,
+    )
+
+    _, sd = transformer_fixture
+    names = parameter_names(sd)
+    # synthesize distinctive moments: exp_avg = weight + 1, exp_avg_sq = |weight|
+    state = {}
+    for i, name in enumerate(names):
+        if name.startswith("music_encoder."):
+            continue  # frozen: torch never materializes state for these
+        state[i] = {
+            "step": np.int64(7),
+            "exp_avg": np.asarray(sd[name]) + 1.0,
+            "exp_avg_sq": np.abs(np.asarray(sd[name])),
+        }
+    opt_sd = {"state": state, "param_groups": [{"params": list(range(len(names)))}]}
+
+    mu, nu, count = import_adam_state(opt_sd, sd)
+    assert count == 7
+    # transposed like the weight importer
+    np.testing.assert_allclose(
+        mu["joint_embed"]["kernel"],
+        (np.asarray(sd["joint_embed.weight"]) + 1.0).T,
+    )
+    np.testing.assert_allclose(
+        nu["out"]["kernel"], np.abs(np.asarray(sd["out.weight"])).T
+    )
+    # AdaLN packing: layer 0 self-attn emb slice
+    span = 2 * 128
+    np.testing.assert_allclose(
+        mu["adaln_kernel"][:, :span],
+        (
+            np.asarray(
+                sd["temporal_decoder_blocks.0.sa_block.proj_out.emb_layers.1.weight"]
+            )
+            + 1.0
+        ).T,
+    )
+    # frozen music encoder moments are zero
+    assert float(np.abs(mu["music_encoder"]["proj"]["kernel"]).max()) == 0.0
+
+    # grafts into the trainer's optax chain and the step still runs
+    import dataclasses
+
+    from conductor_tpu.config import Config, DiffusionConfig, TrainConfig
+    from conductor_tpu.cli.import_torch import denoiser_config_from_state_dict
+    from conductor_tpu.interop.torch_import import graft_adam_state
+    from conductor_tpu.train.ddpm_trainer import DDPMTrainer
+
+    cfg = Config(
+        denoiser=denoiser_config_from_state_dict(sd),
+        diffusion=DiffusionConfig(steps=8, schedule="cosine"),
+        train=TrainConfig(sample_length=1, batch_size=2),
+    )
+    trainer = DDPMTrainer(cfg)
+    st = trainer.init_state(jax.random.PRNGKey(0))
+    st = st.replace(opt_state=graft_adam_state(st.opt_state, mu, nu, count))
+    import optax
+
+    adam = [
+        s for s in jax.tree.leaves(
+            st.opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState)
+        )
+        if isinstance(x := s, optax.ScaleByAdamState)
+    ]
+    assert adam and int(adam[0].count) == 7
+
+    batch = (
+        jnp.zeros((2, 90, 128)),
+        jnp.zeros((2, 30, 13, 2)),
+        jnp.full((2,), 30, jnp.int32),
+    )
+    st2, metrics = trainer.train_step(st, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
