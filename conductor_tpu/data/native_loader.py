@@ -41,7 +41,7 @@ def _load_library(build: bool = True) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.cdl_destroy.argtypes = [ctypes.c_void_p]
     lib.cdl_num_samples.argtypes = [ctypes.c_void_p]
@@ -80,6 +80,9 @@ class NativeBatchIterator:
         times: int = 1,
         n_threads: int = 4,
         n_prefetch: int = 4,
+        host_shard: bool = False,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
         lib = _load_library()
         self.ds = dataset
@@ -111,14 +114,26 @@ class NativeBatchIterator:
             dataset.sample_length * spec.motion_hz, spec.n_joints, spec.joint_dim,
         )
         mot_paths = [c.motion_path.encode() for c in dataset.clips]
+        if host_shard:
+            import jax
+
+            pidx = jax.process_index() if process_index is None else process_index
+            pcount = jax.process_count() if process_count is None else process_count
+            assert batch_size % pcount == 0, (
+                f"global batch {batch_size} must divide process_count {pcount}"
+            )
+            # the C++ side takes the LOCAL batch; it slices each global batch
+            self.batch_size = batch_size // pcount
+        else:
+            pidx, pcount = 0, 1
         MelArr = ctypes.c_char_p * len(cond_paths)
         self._lib = lib
         self._handle = lib.cdl_create(
             MelArr(*cond_paths), MelArr(*mot_paths), len(cond_paths),
-            dataset.sample_length, batch_size,
+            dataset.sample_length, self.batch_size,
             0 if dataset.mode == "sequential" else 1,
             1 if shuffle else 0, 1 if drop_last else 0, times,
-            seed, n_threads, n_prefetch, cond_hz,
+            seed, n_threads, n_prefetch, cond_hz, pidx, pcount,
         )
         if not self._handle:
             raise RuntimeError("cdl_create failed (see stderr)")

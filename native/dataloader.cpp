@@ -133,6 +133,12 @@ struct Loader {
   int times;
   uint64_t seed;
   int n_threads;
+  // multi-host input sharding: this host serves rows
+  // [host_index*batch_size, (host_index+1)*batch_size) of every GLOBAL
+  // batch of size batch_size*host_count; the epoch permutation is
+  // seed-deterministic, so host slices are disjoint and exhaustive
+  // (the Python BatchIterator(host_shard=True) contract).
+  int host_index = 0, host_count = 1;
 
   std::vector<Sample> samples;  // one entry per dataset index
   int64_t mel_win, mot_win;     // window rows
@@ -196,6 +202,18 @@ struct Loader {
         size_t j = rng() % (i + 1);
         std::swap(order[i], order[j]);
       }
+    }
+    if (host_count > 1) {
+      // keep only this host's contiguous slice of each global batch
+      int global_b = batch_size * host_count;
+      size_t n_global = order.size() / global_b;  // drop_last enforced
+      std::vector<int> local;
+      local.reserve(n_global * batch_size);
+      for (size_t gb = 0; gb < n_global; gb++) {
+        size_t base = gb * global_b + size_t(host_index) * batch_size;
+        for (int i = 0; i < batch_size; i++) local.push_back(order[base + i]);
+      }
+      order.swap(local);
     }
     int total = static_cast<int>(order.size());
     num_batches = drop_last ? total / batch_size
@@ -297,8 +315,17 @@ extern "C" {
 void* cdl_create(const char** mel_paths, const char** motion_paths,
                  int n_clips, int sample_length, int batch_size, int mode,
                  int shuffle, int drop_last, int times, uint64_t seed,
-                 int n_threads, int n_prefetch, int mel_hz) {
+                 int n_threads, int n_prefetch, int mel_hz,
+                 int host_index, int host_count) {
+  // batch_size here is the LOCAL (per-host) batch; buffers and num_batches
+  // are per-host throughout.
+  if (host_count > 1 && !drop_last) {
+    fprintf(stderr, "cdl_create: host sharding requires drop_last\n");
+    return nullptr;
+  }
   auto* L = new Loader();
+  L->host_index = host_index;
+  L->host_count = std::max(1, host_count);
   L->sample_length = sample_length;
   L->batch_size = batch_size;
   L->mode = mode;
@@ -346,7 +373,12 @@ void cdl_destroy(void* h) { delete static_cast<Loader*>(h); }
 
 int cdl_num_samples(void* h) {
   auto* L = static_cast<Loader*>(h);
-  return static_cast<int>(L->samples.size()) * L->times;
+  int total = static_cast<int>(L->samples.size()) * L->times;
+  if (L->host_count > 1) {
+    int global_b = L->batch_size * L->host_count;
+    return (total / global_b) * L->batch_size;  // this host's share
+  }
+  return total;
 }
 
 void cdl_start_epoch(void* h, int epoch) {

@@ -118,3 +118,47 @@ class TestHostShardedIterator:
         ds = ConductorMotionDataset(root, "train", sample_length=60, mode="sequential")
         with pytest.raises(AssertionError):
             BatchIterator(ds, 7, host_shard=True, process_index=0, process_count=4)
+
+
+class TestNativeHostShard:
+    def test_disjoint_exhaustive_union(self, tmp_path):
+        """Native-loader host sharding: per-host slices of each global batch
+        are disjoint and their union is the single-host epoch."""
+        from conductor_tpu.data import ConductorMotionDataset
+        from conductor_tpu.data.dataset import make_synthetic_dataset
+        from conductor_tpu.data.native_loader import (
+            NativeBatchIterator,
+            native_available,
+        )
+
+        if not native_available(build=True):
+            pytest.skip("native loader not buildable")
+
+        root = str(tmp_path / "cm")
+        make_synthetic_dataset(root, "train", num_clips=8)
+        ds = ConductorMotionDataset(root, "train", sample_length=60, mode="sequential")
+
+        def epoch_mels(it):
+            out = []
+            for mel, motion, _ in it:
+                out += [mel[i, 0, :8].tobytes() for i in range(mel.shape[0])]
+            return out
+
+        whole = epoch_mels(NativeBatchIterator(ds, 8, seed=3))
+        shard_rows = []
+        for pidx in range(4):
+            it = NativeBatchIterator(
+                ds, 8, seed=3, host_shard=True,
+                process_index=pidx, process_count=4,
+            )
+            assert it.batch_size == 2
+            rows = epoch_mels(it)
+            assert len(rows) == 2
+            shard_rows.append(rows)
+
+        union = [r for rows in shard_rows for r in rows]
+        assert sorted(union) == sorted(whole)
+        # slices are positionally consistent: host p's rows are the
+        # [2p, 2p+2) rows of the global batch
+        flat = [r for rows in shard_rows for r in rows]
+        assert flat == whole
