@@ -173,8 +173,11 @@ def main(argv=None) -> None:
             mode="random", limit_hours=args.limit_hours, spec=cfg.dataset,
         )
     # native C++ prefetching loader when buildable, Python fallback otherwise
+    # multi-host (multi-slice): each host loads only its slice of every
+    # global batch; shard_batch assembles the global array across processes
     loader = make_batch_iterator(
-        ds, cfg.train.batch_size, times=args.times, seed=cfg.train.seed
+        ds, cfg.train.batch_size, times=args.times, seed=cfg.train.seed,
+        host_shard=jax.process_count() > 1,
     )
     logger = MetricLogger(run_dir, console_every=cfg.train.log_every)
 

@@ -174,11 +174,16 @@ def make_batch_iterator(dataset: ConductorMotionDataset, batch_size: int, **kw):
     if native_available(build=True):
         native_kw = {
             k: v for k, v in kw.items()
-            if k in ("shuffle", "drop_last", "seed", "times", "n_threads", "n_prefetch")
+            if k in ("shuffle", "drop_last", "seed", "times", "n_threads",
+                     "n_prefetch", "host_shard", "process_index", "process_count")
         }
         try:
             return NativeBatchIterator(dataset, batch_size, **native_kw)
         except (RuntimeError, OSError):
             pass
-    py_kw = {k: v for k, v in kw.items() if k in ("shuffle", "drop_last", "seed", "times")}
+    py_kw = {
+        k: v for k, v in kw.items()
+        if k in ("shuffle", "drop_last", "seed", "times", "host_shard",
+                 "process_index", "process_count")
+    }
     return BatchIterator(dataset, batch_size, **py_kw)
