@@ -78,6 +78,40 @@ def import_m2snet_cmd(args) -> None:
     print(f"imported M2SNet -> {args.output} (use as --stage1_ckpt)")
 
 
+def import_m2sgan_cmd(args) -> None:
+    """Generator (+optional Discriminator) .pt -> orbax checkpoint with the
+    GANState field names, restorable by M2SGANTrainer."""
+    from ..interop.torch_import import import_discriminator, import_generator
+    from ..models.generator import Discriminator1DCNN, Generator
+
+    g_sd = load_torch_state_dict(args.input)
+    g_vars = jax.tree.map(jnp.asarray, import_generator(g_sd))
+    template = Generator().init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 90, 128)), jnp.zeros((1, 1, 8))
+    )
+    assert_matches_template(g_vars, template)
+
+    tree = {
+        "step": jnp.zeros((), jnp.int32),
+        "g_params": g_vars["params"],
+        "g_batch_stats": g_vars["batch_stats"],
+    }
+    if args.discriminator:
+        d_sd = load_torch_state_dict(args.discriminator)
+        d_vars = jax.tree.map(jnp.asarray, import_discriminator(d_sd))
+        d_template = Discriminator1DCNN().init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 90, 13, 2))
+        )
+        assert_matches_template(d_vars, d_template)
+        tree["d_params"] = d_vars["params"]
+
+    os.makedirs(args.output, exist_ok=True)
+    _save_ckpt(args.output, 0, tree)
+    with open(os.path.join(args.output, "import_meta.json"), "w") as f:
+        json.dump({"source": os.path.abspath(args.input), "kind": "m2sgan"}, f)
+    print(f"imported M2SGAN G{'+D' if args.discriminator else ''} -> {args.output}")
+
+
 def denoiser_config_from_state_dict(sd, num_heads: int = 8) -> DenoiserConfig:
     """Infer the architecture from weight shapes (heads don't affect shapes;
     pass the training value, default 8 per `transformer.py:367`)."""
@@ -171,6 +205,12 @@ def main(argv=None) -> None:
     pm.add_argument("--input", required=True)
     pm.add_argument("--output", required=True)
     pm.set_defaults(fn=import_m2snet_cmd)
+
+    pg = sub.add_parser("m2sgan", help="M2SGAN Generator/Discriminator .pt -> orbax")
+    pg.add_argument("--input", required=True, help="Generator .pt")
+    pg.add_argument("--discriminator", default=None, help="Discriminator .pt")
+    pg.add_argument("--output", required=True)
+    pg.set_defaults(fn=import_m2sgan_cmd)
 
     pd = sub.add_parser("diffusion", help="stage-2 latest.tar -> run dir")
     pd.add_argument("--input", required=True)

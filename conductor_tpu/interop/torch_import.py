@@ -348,6 +348,100 @@ def load_diffusion_tar(path: str) -> tuple[dict[str, Array], dict[str, Any]]:
     return enc, meta
 
 
+# ----------------------------------------------------- M2SGAN Generator / D
+
+
+def _conv1d(sd: SD, key: str) -> dict[str, Array]:
+    """torch Conv1d (O, I, k) -> flax Conv (k, I, O)."""
+    w = _np(sd[f"{key}.weight"])
+    return {
+        "kernel": np.ascontiguousarray(w.transpose(2, 1, 0)),
+        "bias": _np(sd[f"{key}.bias"]),
+    }
+
+
+def _convtranspose1d(sd: SD, key: str) -> dict[str, Array]:
+    """torch ConvTranspose1d (I, O, k) -> flax ConvTranspose SAME (k, I, O):
+    flip the kernel taps (verified element-exact against torch for all four
+    noise-upsampler configs, `Generator.py:59-64`)."""
+    w = _np(sd[f"{key}.weight"])[:, :, ::-1]
+    return {
+        "kernel": np.ascontiguousarray(w.transpose(2, 0, 1)),
+        "bias": _np(sd[f"{key}.bias"]),
+    }
+
+
+def _wn_conv1d(sd: SD, key: str):
+    """weight-normed Conv1d: v (O, I, k) + g (O, 1, 1) -> flax
+    (Conv {kernel: v, bias}, WeightNorm scale g).  Both frameworks
+    renormalize per out channel, so v ports as the direction param."""
+    v = _np(sd[f"{key}.weight_v"])
+    g = _np(sd[f"{key}.weight_g"]).reshape(-1)
+    conv = {
+        "kernel": np.ascontiguousarray(v.transpose(2, 1, 0)),
+        "bias": _np(sd[f"{key}.bias"]),
+    }
+    return conv, g
+
+
+def import_generator(sd: SD, n_layers: int = 6) -> dict[str, Any]:
+    """M2SGAN Generator state dict -> flax `models.generator.Generator`
+    (TCN decoder) variables (`Generator.py:52-77`)."""
+    sd = strip_module_prefix(sd)
+    music = import_music_encoder(sd, "music_encoder.")
+
+    tcn_p: dict[str, Any] = {}
+    tcn_s: dict[str, Any] = {}
+    for i in range(n_layers):
+        t = f"tcn.TCN.tcn.tcn.network.{i}"
+        bp: dict[str, Any] = {}
+        bs: dict[str, Any] = {}
+        for j in (0, 1):
+            conv, g = _wn_conv1d(sd, f"{t}.conv{j + 1}")
+            bp[f"Conv_{j}"] = conv
+            bp[f"WeightNorm_{j}"] = {f"Conv_{j}/kernel/scale": g}
+            bp[f"BatchNorm_{j}"], bs[f"BatchNorm_{j}"] = _bn(sd, f"{t}.bn{j + 1}")
+        if f"{t}.downsample.weight" in sd:
+            bp["Conv_2"] = _conv1d(sd, f"{t}.downsample")
+        tcn_p[f"TemporalBlock_{i}"] = bp
+        tcn_s[f"TemporalBlock_{i}"] = bs
+    tcn_p["Dense_0"] = _dense(sd, "tcn.TCN.tcn.linear")
+
+    decoder_p = {
+        "DilatedTCN_0": tcn_p,
+        "Dense_0": _dense(sd, "tcn.fc.0"),
+        "Dense_1": _dense(sd, "tcn.fc.2"),
+        "Dense_2": _dense(sd, "tcn.fc.4"),
+    }
+    params: dict[str, Any] = {
+        "music_encoder": music["params"],
+        "decoder": decoder_p,
+        "up1": _convtranspose1d(sd, "noise_convTranspose.0"),
+        "up2": _convtranspose1d(sd, "noise_convTranspose.2"),
+        "up3": _convtranspose1d(sd, "noise_convTranspose.4"),
+        "up4": _convtranspose1d(sd, "noise_convTranspose.6"),
+    }
+    stats: dict[str, Any] = {
+        "music_encoder": music["batch_stats"],
+        "decoder": {"DilatedTCN_0": tcn_s},
+    }
+    params["noise_bn"], stats["noise_bn"] = _bn(sd, "noise_BN")
+    return {"params": params, "batch_stats": stats}
+
+
+def import_discriminator(sd: SD) -> dict[str, Any]:
+    """WGAN critic state dict -> flax
+    `models.generator.Discriminator1DCNN` variables
+    (`Discriminator.py:5-41`)."""
+    sd = strip_module_prefix(sd)
+    params: dict[str, Any] = {}
+    for j, tkey in enumerate(("motion_encoder.0", "motion_encoder.3", "motion_encoder.6")):
+        params[f"Conv_{j}"] = _conv1d(sd, tkey)
+    for j, tkey in enumerate(("fc.0", "fc.2", "fc.4")):
+        params[f"Dense_{j}"] = _dense(sd, tkey)
+    return {"params": params}
+
+
 _BUFFER_SUFFIXES = ("running_mean", "running_var", "num_batches_tracked")
 
 

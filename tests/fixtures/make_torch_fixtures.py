@@ -124,9 +124,46 @@ def make_transformer(reference: str):
     print("torch_transformer.npz:", xf_proj.shape, out_full.shape)
 
 
+def make_m2sgan(reference: str):
+    import torch
+
+    for mod in [m for m in sys.modules if m == "models" or m.startswith("models.")]:
+        del sys.modules[mod]
+    sys.path.insert(0, os.path.join(reference, "Contrastive_Stage"))
+    from models.Discriminator import Discriminator_1DCNN  # type: ignore
+    from models.Generator import Generator  # type: ignore
+
+    g, d = Generator(), Discriminator_1DCNN()
+    g_manifest = {k: tuple(v.shape) for k, v in g.state_dict().items()}
+    d_manifest = {k: tuple(v.shape) for k, v in d.state_dict().items()}
+    g.load_state_dict(_to_torch(synth_state_dict(g_manifest, SEED_WEIGHTS)), strict=True)
+    d.load_state_dict(_to_torch(synth_state_dict(d_manifest, SEED_WEIGHTS + 1)), strict=True)
+    g.eval(); d.eval()
+
+    rng = np.random.RandomState(SEED_INPUTS)
+    # 10 s: the TCN's dilation-32 reflect pads need T30 > 128 frames
+    mel = rng.uniform(0, 1, size=(2, 900, 128)).astype(np.float32)
+    noise = rng.normal(0, 1, size=(2, 10, 8)).astype(np.float32)
+    motion = rng.uniform(0, 1, size=(2, 300, 13, 2)).astype(np.float32)
+    with torch.no_grad():
+        fake = g(torch.from_numpy(mel), torch.from_numpy(noise))
+        hidden = g.features(torch.from_numpy(mel), torch.from_numpy(noise))
+        score = d(torch.from_numpy(motion))
+
+    np.savez_compressed(
+        os.path.join(OUT_DIR, "torch_m2sgan.npz"),
+        g_manifest=np.frombuffer(manifest_to_json(g_manifest).encode(), np.uint8),
+        d_manifest=np.frombuffer(manifest_to_json(d_manifest).encode(), np.uint8),
+        mel=mel, noise=noise, motion=motion,
+        fake=fake.numpy(), hidden=hidden.numpy(), score=score.numpy(),
+    )
+    print("torch_m2sgan.npz:", fake.shape, hidden.shape, score.shape)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--reference", default="/root/reference")
     args = ap.parse_args()
     make_m2snet(args.reference)
     make_transformer(args.reference)
+    make_m2sgan(args.reference)

@@ -336,3 +336,74 @@ def test_adam_state_import(transformer_fixture):
     )
     st2, metrics = trainer.train_step(st, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.fixture(scope="module")
+def m2sgan_fixture():
+    fx = np.load(os.path.join(FIXTURES, "torch_m2sgan.npz"))
+    g_sd = synth_state_dict(
+        manifest_from_json(bytes(fx["g_manifest"]).decode()), seed=0
+    )
+    d_sd = synth_state_dict(
+        manifest_from_json(bytes(fx["d_manifest"]).decode()), seed=1
+    )
+    return fx, g_sd, d_sd
+
+
+def test_generator_import_parity(m2sgan_fixture):
+    """M2SGAN Generator (weight-normed TCN + ConvTranspose noise path +
+    frozen music encoder) reproduces torch outputs end-to-end."""
+    from conductor_tpu.interop.torch_import import import_generator
+    from conductor_tpu.models.generator import Generator
+
+    fx, g_sd, _ = m2sgan_fixture
+    variables = jax.tree.map(jnp.asarray, import_generator(g_sd))
+    model = Generator()
+    template = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 90, 128)), jnp.zeros((1, 1, 8))
+    )
+    assert_matches_template(variables, template)
+
+    mel, noise = jnp.asarray(fx["mel"]), jnp.asarray(fx["noise"])
+    hidden = model.apply(variables, mel, noise, method=model.features)
+    np.testing.assert_allclose(
+        np.asarray(hidden), fx["hidden"], atol=2e-4, rtol=1e-3
+    )
+    fake = model.apply(variables, mel, noise)
+    np.testing.assert_allclose(np.asarray(fake), fx["fake"], atol=5e-4, rtol=1e-3)
+
+
+def test_discriminator_import_parity(m2sgan_fixture):
+    from conductor_tpu.interop.torch_import import import_discriminator
+    from conductor_tpu.models.generator import Discriminator1DCNN
+
+    fx, _, d_sd = m2sgan_fixture
+    variables = jax.tree.map(jnp.asarray, import_discriminator(d_sd))
+    model = Discriminator1DCNN()
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 90, 13, 2)))
+    assert_matches_template(variables, template)
+
+    score = model.apply(variables, jnp.asarray(fx["motion"]))
+    np.testing.assert_allclose(
+        np.asarray(score), fx["score"], atol=1e-4, rtol=1e-3
+    )
+
+
+def test_import_cli_m2sgan(tmp_path, m2sgan_fixture):
+    torch = pytest.importorskip("torch")
+    from conductor_tpu.cli.import_torch import main as import_main
+    from conductor_tpu.train.checkpoints import restore_raw
+
+    _, g_sd, d_sd = m2sgan_fixture
+    gp = tmp_path / "M2SGAN_G.pt"
+    dp = tmp_path / "M2SGAN_D.pt"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in g_sd.items()}, gp)
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in d_sd.items()}, dp)
+    out = tmp_path / "gan"
+    import_main([
+        "m2sgan", "--input", str(gp), "--discriminator", str(dp),
+        "--output", str(out),
+    ])
+    restored = restore_raw(str(out / "ckpt"))
+    assert "decoder" in restored["g_params"]
+    assert "Conv_0" in restored["d_params"]
