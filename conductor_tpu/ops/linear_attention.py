@@ -95,7 +95,13 @@ def quadratic_self_attention(
 ) -> jnp.ndarray:
     """O(T²) softmax attention, the reference's `--no_eff` fallback
     (`transformer.py:198-229`): scores scaled by sqrt(D/H), additive
-    ``(1 - mask) * -1e5`` on key positions, softmax over keys."""
+    ``(1 - mask) * -1e5``, softmax over keys.
+
+    Deliberate fix: the reference adds the mask on the QUERY axis
+    (`transformer.py:224` — ``src_mask.unsqueeze(-1)`` broadcasts over keys),
+    which is constant per softmax row and therefore a no-op; here the mask
+    lands on KEY positions, actually excluding padded frames.  With a full
+    mask (the sampler's case) the two coincide exactly."""
     B, T, D = q.shape
     H = num_heads
     qh = q.reshape(B, T, H, D // H)

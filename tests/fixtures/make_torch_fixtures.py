@@ -109,9 +109,28 @@ def make_transformer(reference: str):
             text=torch.from_numpy(mel),
         )
 
+    # no_eff (quadratic attention) variant: same state-dict key names, so
+    # the same synthesized weights load; full-length mask (where the
+    # reference's query-side mask quirk is a no-op, see
+    # ops/linear_attention.py) -> outputs must coincide with our fixed
+    # key-side mask formulation
+    model_q = MotionTransformer(
+        input_feats=26, num_frames=30, latent_dim=128, ff_size=64,
+        num_layers=2, num_heads=8, dropout=0, no_eff=True,
+        music_model_path=None, device="cpu",
+    )
+    model_q.load_state_dict(_to_torch(sd), strict=True)
+    model_q.eval()
+    with torch.no_grad():
+        out_quad = model_q(
+            torch.from_numpy(x), torch.from_numpy(t), length=[30, 30],
+            text=torch.from_numpy(mel),
+        )
+
     np.savez_compressed(
         os.path.join(OUT_DIR, "torch_transformer.npz"),
         manifest=np.frombuffer(manifest_to_json(manifest).encode(), np.uint8),
+        out_quad=out_quad.numpy(),
         mel=mel,
         x=x,
         t=t.astype(np.int32),
@@ -129,6 +148,9 @@ def make_m2sgan(reference: str):
 
     for mod in [m for m in sys.modules if m == "models" or m.startswith("models.")]:
         del sys.modules[mod]
+    # Diffusion_Stage/models is a REGULAR package (has __init__) and beats
+    # Contrastive_Stage's namespace package regardless of path order — drop it
+    sys.path[:] = [p for p in sys.path if "Diffusion_Stage" not in p]
     sys.path.insert(0, os.path.join(reference, "Contrastive_Stage"))
     from models.Discriminator import Discriminator_1DCNN  # type: ignore
     from models.Generator import Generator  # type: ignore

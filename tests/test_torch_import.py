@@ -407,3 +407,34 @@ def test_import_cli_m2sgan(tmp_path, m2sgan_fixture):
     restored = restore_raw(str(out / "ckpt"))
     assert "decoder" in restored["g_params"]
     assert "Conv_0" in restored["d_params"]
+
+
+def test_transformer_no_eff_parity(transformer_fixture):
+    """The quadratic (`--no_eff`) variant: same state-dict key names load via
+    the same importer, and the flax quadratic path matches torch under a
+    full mask (where the reference's query-side mask quirk is a no-op —
+    ops/linear_attention.py docstring)."""
+    fx, sd = transformer_fixture
+    if "out_quad" not in fx:
+        pytest.skip("fixture predates no_eff outputs")
+    variables = jax.tree.map(jnp.asarray, import_motion_transformer(sd))
+    model = MotionTransformer(
+        input_feats=26, num_frames=30, latent_dim=128, ff_size=64,
+        num_layers=2, num_heads=8, dropout=0.0, efficient=False,
+    )
+    template = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 90, 128)), jnp.zeros((1, 30, 26)),
+        jnp.zeros((1,), jnp.int32), method=model.init_with_music,
+    )
+    assert_matches_template(variables, template)
+
+    xf_proj, xf_out = model.apply(
+        variables, jnp.asarray(fx["mel"]), method=model.encode_music
+    )
+    out = model.apply(
+        variables, jnp.asarray(fx["x"]), jnp.asarray(fx["t"]), xf_proj, xf_out
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), fx["out_quad"], atol=5e-4, rtol=1e-3
+    )
