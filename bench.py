@@ -33,7 +33,10 @@ def main() -> None:
 
     cfg = Config()
     # Inference-optimized serving config: whole-layer fused Pallas kernels
-    # (ops/pallas_layer.py) with bfloat16 MXU operands / f32 accumulation;
+    # (ops/pallas_layer.py) with bfloat16 MXU operands / f32 accumulation,
+    # plus the int8 MXU path for the AdaLN projection (~68% of step FLOPs;
+    # drift bound pinned in tests/test_fused_denoiser.py, quality deltas vs
+    # the exact path recorded in docs/e2e_run/eval_test_serving.json);
     # params and schedule math stay f32.
     cfg = cfg.replace(
         denoiser=dataclasses.replace(
@@ -41,6 +44,7 @@ def main() -> None:
             attention_impl="pallas",
             compute_dtype="bfloat16",
             layer_impl="pallas_fused",
+            sampler_adaln_int8=True,
         )
     )
     trainer = DDPMTrainer(cfg)

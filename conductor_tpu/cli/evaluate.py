@@ -34,12 +34,36 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--single_device", action="store_true",
                    help="disable mesh-sharded generation (default: shard "
                         "waves across all devices)")
+    # Sampler-implementation overrides (default: whatever the run's
+    # config.json trained with).  These change HOW generation runs, not the
+    # model — used to score serving fast paths (bf16 MXU, fused kernels,
+    # int8 AdaLN) against the exact path on the same checkpoint.
+    p.add_argument("--layer_impl", default=None,
+                   choices=["flax", "pallas_fused"])
+    p.add_argument("--compute_dtype", default=None,
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--adaln_int8", action="store_true",
+                   help="int8 MXU path for the AdaLN projection "
+                        "(requires --layer_impl pallas_fused)")
+    p.add_argument("--out_suffix", default="",
+                   help="suffix for the eval_<split><suffix>.json artifact")
     return p
 
 
 def main(argv=None) -> None:
     args = build_argparser().parse_args(argv)
     cfg = Config.load(os.path.join(args.run_dir, "config.json"))
+    overrides = {}
+    if args.layer_impl:
+        overrides["layer_impl"] = args.layer_impl
+    if args.compute_dtype:
+        overrides["compute_dtype"] = args.compute_dtype
+    if args.adaln_int8:
+        overrides["sampler_adaln_int8"] = True
+    if overrides:
+        import dataclasses
+
+        cfg = cfg.replace(denoiser=dataclasses.replace(cfg.denoiser, **overrides))
     trainer = DDPMTrainer(cfg)
     rng = jax.random.PRNGKey(args.seed)
     state = trainer.init_state(rng)
@@ -58,7 +82,8 @@ def main(argv=None) -> None:
     )
     report = result.as_dict()
     print(json.dumps(report, indent=2))
-    with open(os.path.join(args.run_dir, f"eval_{args.split}.json"), "w") as f:
+    out = os.path.join(args.run_dir, f"eval_{args.split}{args.out_suffix}.json")
+    with open(out, "w") as f:
         json.dump(report, f, indent=2)
 
 

@@ -79,6 +79,15 @@ class DenoiserConfig:
                                       # gelu; LN stats + time softmax stay f32).
                                       # bf16 = opt-in serving fast path; see
                                       # tests/test_fused_denoiser.py bound
+    sampler_adaln_int8: bool = False  # int8 MXU path for the AdaLN projection
+                                      # inside the fused sampling kernels: the
+                                      # (T,512)@(512,768) modulation matmul is
+                                      # ~68% of the step FLOPs and v5e does
+                                      # int8 at 2x bf16.  Weights quantized
+                                      # per-column, activations per-row (once
+                                      # per step, in the prologue kernel).
+                                      # Opt-in serving fast path; drift bound
+                                      # in tests/test_fused_denoiser.py
 
     @property
     def time_embed_dim(self) -> int:

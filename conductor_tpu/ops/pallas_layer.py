@@ -59,7 +59,7 @@ def _ln(x, g, b):
 
 def _layer_body(
     x, emb, kvc, m_, v_, aw, ab, *, t_valid: int, head_dim: int, mxu_dtype,
-    vpu_dtype=F32,
+    vpu_dtype=F32, emb_scale=None, aw_scale=None,
 ):
     """One decoder layer on f32 values already in VMEM/registers.
 
@@ -75,6 +75,12 @@ def _layer_body(
     ~90 us on the MXU; measured ~190 us).  LayerNorm statistics, residuals,
     and the time-softmax normalization stay f32: LN at bf16 drifts ~1e-2 and
     the time softmax averages O(1/T) values below bf16 resolution.
+
+    ``emb_scale``/``aw_scale`` (opt-in int8 AdaLN): when given, ``emb`` is
+    int8 rows pre-quantized with per-row scales ``emb_scale`` (Tp, 1) and
+    ``aw`` is int8 with per-column scales ``aw_scale`` (1, 6D); the
+    modulation matmul — ~68% of the step FLOPs — runs on the MXU's int8
+    path (2x bf16 on v5e) with int32 accumulation, dequantized in f32.
     """
     tp, d = x.shape
     vd = vpu_dtype
@@ -104,7 +110,14 @@ def _layer_body(
     seg = (seg_i == seg_j).astype(F32)
 
     # this layer's AdaLN scale/shift triples: one (Tp, E) x (E, 6D) matmul
-    mod = md(emb, aw) + ab.astype(F32)
+    if aw_scale is not None:
+        acc = jax.lax.dot_general(
+            emb, aw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        mod = acc.astype(F32) * (emb_scale * aw_scale) + ab.astype(F32)
+    else:
+        mod = md(emb, aw) + ab.astype(F32)
 
     # ---------------------------------------------------- self attention
     xn = _ln(x, v_(0), v_(1))
@@ -162,10 +175,16 @@ def _layer_kernel(
 
 
 def _stack_kernel(
-    x_ref, emb_ref, kvc_ref, mats_ref, vecs_ref, aw_ref, ab_ref, o_ref,
-    h_scr,
-    *, t_valid: int, head_dim: int, mxu_dtype, num_layers: int, vpu_dtype=F32,
+    *refs,
+    t_valid: int, head_dim: int, mxu_dtype, num_layers: int, vpu_dtype=F32,
+    adaln_int8: bool = False,
 ):
+    if adaln_int8:
+        (x_ref, emb_ref, srow_ref, kvc_ref, mats_ref, vecs_ref, aw_ref,
+         ascale_ref, ab_ref, o_ref, h_scr) = refs
+    else:
+        (x_ref, emb_ref, kvc_ref, mats_ref, vecs_ref, aw_ref, ab_ref,
+         o_ref, h_scr) = refs
     layer = pl.program_id(1)
 
     @pl.when(layer == 0)
@@ -178,6 +197,8 @@ def _stack_kernel(
         aw_ref[0], ab_ref[0, 0],
         t_valid=t_valid, head_dim=head_dim, mxu_dtype=mxu_dtype,
         vpu_dtype=vpu_dtype,
+        emb_scale=srow_ref[0].astype(F32) if adaln_int8 else None,
+        aw_scale=ascale_ref[0] if adaln_int8 else None,
     )
     h_scr[...] = x
 
@@ -249,6 +270,8 @@ def fused_decoder_stack(
     num_heads: int,
     mxu_dtype: jnp.dtype = jnp.float32,
     vpu_dtype: jnp.dtype = jnp.float32,
+    emb_scale: jnp.ndarray | None = None,   # (B, T, 1) f32 — int8 AdaLN mode
+    adaln_w_scale: jnp.ndarray | None = None,  # (L, 1, 6D) f32 — int8 AdaLN mode
 ) -> jnp.ndarray:
     """All ``L`` decoder layers in ONE kernel: grid ``(B, L)`` with the
     residual stream held in an f32 VMEM scratch across the (sequential)
@@ -258,29 +281,47 @@ def fused_decoder_stack(
     batch coordinate, so Mosaic keeps them resident), and double-buffers
     layer ``l+1``'s weight DMA behind layer ``l``'s compute.  The f32 carry
     is numerically at least as close to the flax reference as the bf16 HBM
-    carry it replaces."""
+    carry it replaces.
+
+    int8-AdaLN mode (``emb_scale``/``adaln_w_scale`` given): ``emb_act`` is
+    int8 per-row-quantized activations and ``adaln_w`` int8 per-column-
+    quantized weights; the modulation matmul runs on the MXU int8 path
+    (see `_layer_body`).  Quantize once per step with `quantize_rows`."""
     num_layers, b = mats.shape[0], x.shape[0]
     t, d = x.shape[1], x.shape[2]
     e = emb_act.shape[-1]
     tp = _round_up(t, 8)
     xp = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
     ep = jnp.pad(emb_act, ((0, 0), (0, tp - t), (0, 0)))
+    adaln_int8 = adaln_w_scale is not None
+
+    in_specs = [
+        pl.BlockSpec((1, tp, d), lambda i, l: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tp, e), lambda i, l: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d, d), lambda i, l: (l, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 9, d, d), lambda i, l: (l, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 24, d), lambda i, l: (l, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, e, 6 * d), lambda i, l: (l, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 6 * d), lambda i, l: (l, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [xp, ep, kv_cross, mats, vecs, adaln_w, adaln_b[:, None, :]]
+    if adaln_int8:
+        sp = jnp.pad(emb_scale, ((0, 0), (0, tp - t), (0, 0)))
+        in_specs.insert(2, pl.BlockSpec(
+            (1, tp, 1), lambda i, l: (i, 0, 0), memory_space=pltpu.VMEM))
+        operands.insert(2, sp)
+        in_specs.insert(7, pl.BlockSpec(
+            (1, 1, 6 * d), lambda i, l: (l, 0, 0), memory_space=pltpu.VMEM))
+        operands.insert(7, adaln_w_scale)
 
     out = pl.pallas_call(
         functools.partial(
             _stack_kernel, t_valid=t, head_dim=d // num_heads,
             mxu_dtype=mxu_dtype, num_layers=num_layers, vpu_dtype=vpu_dtype,
+            adaln_int8=adaln_int8,
         ),
         grid=(b, num_layers),
-        in_specs=[
-            pl.BlockSpec((1, tp, d), lambda i, l: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp, e), lambda i, l: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, d, d), lambda i, l: (l, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, d, d), lambda i, l: (l, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 24, d), lambda i, l: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, e, 6 * d), lambda i, l: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 6 * d), lambda i, l: (l, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, tp, d), lambda i, l: (i, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -297,5 +338,17 @@ def fused_decoder_stack(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(xp, ep, kv_cross, mats, vecs, adaln_w, adaln_b[:, None, :])
+    )(*operands)
     return out[:, :t]
+
+
+def quantize_rows(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-row int8 quantization over the last axis.
+
+    Returns (q int8, scale f32 with a trailing singleton axis) such that
+    ``q * scale ~= x``.  Used once per sampling step on the shared AdaLN
+    activations (and at pack time on the AdaLN weights, per column via a
+    transpose)."""
+    scale = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-8) / 127.0
+    q = jnp.round(x / scale).astype(jnp.int8)
+    return q, scale.astype(F32)

@@ -56,11 +56,20 @@ def ddim_affine_tables(sched: DiffusionSchedule) -> tuple[jnp.ndarray, jnp.ndarr
 
 
 def _prologue_kernel(x_ref, emb_ref_in, wj_ref, seqb_ref, h_ref, emb_ref,
-                     *, mxu_dtype):
+                     *srow_ref, mxu_dtype, quantize_emb=False):
     x = x_ref[0]
     emb = emb_ref_in[0].astype(F32)
     emb_act = emb * jax.nn.sigmoid(emb)  # silu
-    emb_ref[0] = emb_act.astype(emb_ref.dtype)
+    if quantize_emb:
+        # symmetric per-row int8 (see pallas_layer.quantize_rows): the int8
+        # write is 4x smaller than the f32 emb_act it replaces
+        scale = jnp.maximum(
+            jnp.max(jnp.abs(emb_act), axis=-1, keepdims=True), 1e-8
+        ) / 127.0
+        emb_ref[0] = jnp.round(emb_act / scale).astype(jnp.int8)
+        srow_ref[0][0] = scale
+    else:
+        emb_ref[0] = emb_act.astype(emb_ref.dtype)
     h = jnp.dot(
         x.astype(mxu_dtype), wj_ref[:].astype(mxu_dtype),
         preferred_element_type=F32,
@@ -76,14 +85,33 @@ def sampler_prologue(
     *,
     mxu_dtype=F32,
     emb_dtype=F32,
+    quantize_emb=False,
 ):
+    """Returns ``(h, emb_act)`` — or ``(h, emb_q int8, row_scale f32)`` when
+    ``quantize_emb`` (the int8-AdaLN sampling mode, quantized once per step
+    here so every layer of the stack kernel reads int8)."""
     b, t, p = x.shape
     e = emb.shape[-1]
     d = w_joint.shape[-1]
     tp = _round_up(t, 8)
     pad = lambda a: jnp.pad(a, ((0, 0), (0, tp - t), (0, 0)))
-    h, emb_act = pl.pallas_call(
-        functools.partial(_prologue_kernel, mxu_dtype=mxu_dtype),
+    out_specs = [
+        pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tp, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, tp, d), F32),
+        jax.ShapeDtypeStruct((b, tp, e), jnp.int8 if quantize_emb else emb_dtype),
+    ]
+    if quantize_emb:
+        out_specs.append(
+            pl.BlockSpec((1, tp, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((b, tp, 1), F32))
+    outs = pl.pallas_call(
+        functools.partial(
+            _prologue_kernel, mxu_dtype=mxu_dtype, quantize_emb=quantize_emb
+        ),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, tp, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -91,17 +119,11 @@ def sampler_prologue(
             pl.BlockSpec((p, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, tp, d), F32),
-            jax.ShapeDtypeStruct((b, tp, e), emb_dtype),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=jax.default_backend() != "tpu",
     )(pad(x), pad(emb), w_joint, jnp.pad(seq_bias, ((0, tp - t), (0, 0))))
-    return h[:, :t], emb_act[:, :t]
+    return tuple(o[:, :t] for o in outs)
 
 
 def _epilogue_kernel(h_ref, xt_ref, wout_ref, bout_ref, ab_ref, o_ref,

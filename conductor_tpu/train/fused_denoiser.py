@@ -96,6 +96,7 @@ class FusedDenoiser:
         self.latent_dim = d.latent_dim
         self.mxu_dtype = jnp.dtype(d.compute_dtype)
         self.vpu_dtype = jnp.dtype(getattr(d, "sampler_vpu_dtype", "float32"))
+        self.adaln_int8 = bool(getattr(d, "sampler_adaln_int8", False))
         # mats/adaln_w feed the MXU (cast inside the kernel anyway) — store
         # them at mxu_dtype to halve per-step HBM weight traffic at bf16.
         # vecs stay f32 (VPU adds).  All layers stacked along a leading axis
@@ -103,7 +104,19 @@ class FusedDenoiser:
         banks = [pack_layer_weights(params, i, cfg) for i in range(d.num_layers)]
         self.mats = jnp.stack([b[0] for b in banks]).astype(self.mxu_dtype)
         self.vecs = jnp.stack([b[1] for b in banks])
-        self.adaln_w = jnp.stack([b[2] for b in banks]).astype(self.mxu_dtype)
+        adaln_w = jnp.stack([b[2] for b in banks])
+        if self.adaln_int8:
+            from ..ops.pallas_layer import quantize_rows
+
+            # per-COLUMN symmetric int8 (quantize_rows over the E axis via
+            # transpose): the AdaLN matmul contracts E, so each output
+            # column dequantizes with one scale
+            q, s = quantize_rows(adaln_w.transpose(0, 2, 1))
+            self.adaln_w = q.transpose(0, 2, 1)               # (L, E, 6D) int8
+            self.adaln_w_scale = s.transpose(0, 2, 1)         # (L, 1, 6D) f32
+        else:
+            self.adaln_w = adaln_w.astype(self.mxu_dtype)
+            self.adaln_w_scale = None
         self.adaln_b = jnp.stack([b[3] for b in banks])
         p = params
         self.w_joint = jnp.asarray(p["joint_embed"]["kernel"])
@@ -136,16 +149,23 @@ class FusedDenoiser:
             temb = timestep_embedding(t, self.latent_dim)
             temb = nn.silu(temb @ self.w_t1 + self.b_t1) @ self.w_t2 + self.b_t2
         # emb_act is read from HBM by all num_layers kernels — ship it at
-        # mxu_dtype (it only ever feeds MXU operands).
-        emb_act = nn.silu(temb[:, None, :] + cond["emb_base"]).astype(
-            self.mxu_dtype
-        )
+        # mxu_dtype (it only ever feeds MXU operands), or int8 + row scales
+        # in the int8-AdaLN mode.
+        emb_act = nn.silu(temb[:, None, :] + cond["emb_base"])
+        emb_scale = None
+        if self.adaln_int8:
+            from ..ops.pallas_layer import quantize_rows
+
+            emb_act, emb_scale = quantize_rows(emb_act)
+        else:
+            emb_act = emb_act.astype(self.mxu_dtype)
 
         h = x @ self.w_joint + self.b_joint + self.seq_emb[None, :T]
         h = fused_decoder_stack(
             h, emb_act, cond["kv_stack"], self.mats, self.vecs,
             self.adaln_w, self.adaln_b, self.num_heads,
             mxu_dtype=self.mxu_dtype, vpu_dtype=self.vpu_dtype,
+            emb_scale=emb_scale, adaln_w_scale=self.adaln_w_scale,
         )
         return (h @ self.w_out + self.b_out).astype(jnp.float32)
 
@@ -179,14 +199,18 @@ class FusedDenoiser:
         def body(x, t):
             t_model = sched.timestep_map[t]
             emb = temb_table[t_model][None, None, :] + cond["emb_base"]
-            h, emb_act = sampler_prologue(
+            outs = sampler_prologue(
                 x, emb, w_joint, seq_bias,
                 mxu_dtype=self.mxu_dtype, emb_dtype=self.mxu_dtype,
+                quantize_emb=self.adaln_int8,
             )
+            h, emb_act = outs[0], outs[1]
+            emb_scale = outs[2] if self.adaln_int8 else None
             h = fused_decoder_stack(
                 h, emb_act, cond["kv_stack"], self.mats, self.vecs,
                 self.adaln_w, self.adaln_b, self.num_heads,
                 mxu_dtype=self.mxu_dtype, vpu_dtype=self.vpu_dtype,
+                emb_scale=emb_scale, adaln_w_scale=self.adaln_w_scale,
             )
             x = sampler_epilogue(
                 h, x, w_out, b_out, alpha_tab[t], beta_tab[t],

@@ -43,6 +43,8 @@ class M2SNetTrainer:
         latent_dim: int = 64,
         compute_dtype: str = "float32",
         share_encodes: bool = False,
+        remat: bool = False,
+        microbatch: int = 1,
     ):
         """``compute_dtype="bfloat16"`` runs the conv encoders in bf16
         (params/BN stats stay f32); ``share_encodes=True`` encodes each
@@ -53,11 +55,48 @@ class M2SNetTrainer:
         reproduce the reference exactly.  In eval mode (frozen BN stats)
         shared and unshared forwards are identical
         (`test_stage1.test_share_encodes_eval_parity`)."""
+        # ``remat=True`` wraps each encoder forward in `jax.checkpoint`: the
+        # backward pass recomputes the conv activations instead of keeping
+        # them resident.  The music-encoder temps are the HBM hot spot — XLA
+        # lane-pads the NHWC conv maps 4-8x (C < 128 lanes; measured: f32
+        # batch 32 x 30 s needs 17.9G without further chunking).  Same math,
+        # ~1.3x step FLOPs; loss parity (and grad parity up to float
+        # reassociation) pinned in `test_stage1.test_remat_step_parity`.
+        # Combine with ``microbatch`` (below) for the exact-f32 big-batch
+        # configs.
+        # ``microbatch=k`` splits each step into k grad-accumulation chunks
+        # (pairs are built over the FULL batch first, then chunked): the
+        # lane-padded conv temps scale with the live chunk, so peak HBM drops
+        # ~k-fold; gradients are the exact full-batch mean.  BatchNorm batch
+        # statistics are computed per chunk (B/k clips) — the same
+        # granularity the reference gets from `torch.nn.DataParallel` over k
+        # GPUs (`M2SNet_train.py:60`, per-replica BN), and the running stats
+        # chain across all chunks (torch DP keeps only replica 0's).
         self.sample_length = sample_length
         self.clip_length = clip_length
         self.share_encodes = share_encodes
+        self.remat = remat
+        self.microbatch = microbatch
         self.model = M2SNet(latent_dim=latent_dim, dtype=jnp.dtype(compute_dtype))
         self.tx = optax.adam(lr)
+
+        def encode_train(params, stats, mel, mot):
+            return self.model.apply(
+                {"params": params, "batch_stats": stats}, mel, mot, True,
+                method=self.model.encode, mutable=["batch_stats"],
+            )
+
+        def apply_train(params, stats, mel, mot):
+            return self.model.apply(
+                {"params": params, "batch_stats": stats}, mel, mot, True,
+                mutable=["batch_stats"],
+            )
+
+        if remat:
+            encode_train = jax.checkpoint(encode_train)
+            apply_train = jax.checkpoint(apply_train)
+        self._encode_train = encode_train
+        self._apply_train = apply_train
         self._steps = {
             s: jax.jit(partial(self._train_step_impl, strategy=s), donate_argnums=(0,))
             for s in STRATEGIES
@@ -89,10 +128,7 @@ class M2SNetTrainer:
             lat = {}
             for key, mel, mot in (("1", m1, p1), ("2", m2, p2)):
                 if train:
-                    (hx, hy), mut = self.model.apply(
-                        {"params": params, "batch_stats": stats}, mel, mot,
-                        True, method=self.model.encode, mutable=["batch_stats"],
-                    )
+                    (hx, hy), mut = self._encode_train(params, stats, mel, mot)
                     stats = mut["batch_stats"]
                 else:
                     hx, hy = self.model.apply(
@@ -111,10 +147,7 @@ class M2SNetTrainer:
         preds = []
         for mel, mot in ((m1, p1), (m1, p2), (m2, p2), (m2, p1)):
             if train:
-                out, mut = self.model.apply(
-                    {"params": params, "batch_stats": stats}, mel, mot, True,
-                    mutable=["batch_stats"],
-                )
+                out, mut = self._apply_train(params, stats, mel, mot)
                 stats = mut["batch_stats"]
             else:
                 out = self.model.apply(
@@ -136,9 +169,9 @@ class M2SNetTrainer:
             pair_rng, music, motion, strategy, self.sample_length, self.clip_length
         )
 
-        def loss_fn(params):
+        def loss_fn(params, in_stats, chunk):
             (p11, p12, p22, p21), stats = self._forward4(
-                params, state.batch_stats, pairs, train=True
+                params, in_stats, chunk, train=True
             )
             loss = (
                 self._bce(p11, 1.0) + self._bce(p12, 0.0)
@@ -156,7 +189,44 @@ class M2SNetTrainer:
             }
             return loss, (stats, metrics)
 
-        grads, (stats, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        k = self.microbatch
+        if k == 1:
+            grads, (stats, metrics) = jax.grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, pairs
+            )
+        else:
+            B = music.shape[0]
+            if B % k:
+                raise ValueError(f"batch {B} not divisible by microbatch {k}")
+            chunks = jax.tree_util.tree_map(
+                lambda x: x.reshape(k, B // k, *x.shape[1:]), pairs
+            )
+
+            def body(carry, chunk):
+                stats, gsum, msum = carry
+                grads, (stats, metrics) = jax.grad(loss_fn, has_aux=True)(
+                    state.params, stats, chunk
+                )
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+                msum = jax.tree_util.tree_map(jnp.add, msum, metrics)
+                return (stats, gsum, msum), None
+
+            zeros_like = lambda t: jax.tree_util.tree_map(
+                lambda x: jnp.zeros(jnp.shape(x), jnp.result_type(x)), t
+            )
+            g0 = zeros_like(state.params)
+            m0 = {
+                "loss": jnp.zeros(()), "accuracy": jnp.zeros(()),
+                "sync_prob": jnp.zeros(()), "non_sync_prob": jnp.zeros(()),
+            }
+            (stats, gsum, msum), _ = jax.lax.scan(
+                body, (state.batch_stats, g0, m0), chunks
+            )
+            # equal chunk sizes: the mean of per-chunk mean-reduced losses /
+            # grads IS the full-batch mean
+            grads = jax.tree_util.tree_map(lambda g: g / k, gsum)
+            metrics = jax.tree_util.tree_map(lambda m: m / k, msum)
+
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (

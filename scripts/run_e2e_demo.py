@@ -109,6 +109,21 @@ def main() -> None:
     with open(os.path.join(args.out, "eval_test.json"), "w") as f:
         json.dump(report, f, indent=2)
 
+    # Serving fast-path quality check: the SAME checkpoint, same seed, same
+    # clips, generated through the fused whole-layer kernels at bf16 with the
+    # int8 AdaLN projection (the TPU serving configuration bench.py measures)
+    # — quantization quality cost = the metric deltas vs the exact path.
+    eval_main([
+        "--run_dir", run_dir, "--data_root", data_root,
+        "--steps", "50", "--batch_size", str(args.test_clips),
+        "--layer_impl", "pallas_fused", "--compute_dtype", "bfloat16",
+        "--adaln_int8", "--out_suffix", "_serving",
+    ])
+    with open(os.path.join(run_dir, "eval_test_serving.json")) as f:
+        serving = json.load(f)
+    with open(os.path.join(args.out, "eval_test_serving.json"), "w") as f:
+        json.dump(serving, f, indent=2)
+
     # training curve summary from metrics.jsonl
     with open(os.path.join(run_dir, "metrics.jsonl")) as f:
         recs = [json.loads(l) for l in f]
@@ -121,6 +136,15 @@ def main() -> None:
         "stage2_loss_first10_mean": round(float(first), 5),
         "stage2_loss_last10_mean": round(float(last), 5),
         "stage2_steps": recs[-1]["step"],
+        "serving_fgd_delta_pct": round(
+            100.0 * abs(serving["fgd"] - report["fgd"]) / max(report["fgd"], 1e-9), 3
+        ),
+        "serving_bc_delta_pct": round(
+            100.0 * abs(
+                serving["beat_consistency_generated"]
+                - report["beat_consistency_generated"]
+            ) / max(report["beat_consistency_generated"], 1e-9), 3
+        ),
         "commands": "see docs/E2E_RUN.md",
     }
     with open(os.path.join(args.out, "run_meta.json"), "w") as f:
