@@ -64,6 +64,15 @@ def main(argv=None) -> None:
         import dataclasses
 
         cfg = cfg.replace(denoiser=dataclasses.replace(cfg.denoiser, **overrides))
+    if args.adaln_int8 and cfg.denoiser.layer_impl != "pallas_fused":
+        # the flax sampling branch never reads sampler_adaln_int8; without
+        # this guard the "int8" artifact would silently come from the exact
+        # path and show a false 0% quantization cost
+        raise SystemExit(
+            "--adaln_int8 requires the fused sampling path: pass "
+            "--layer_impl pallas_fused (run config has "
+            f"layer_impl={cfg.denoiser.layer_impl!r})"
+        )
     trainer = DDPMTrainer(cfg)
     rng = jax.random.PRNGKey(args.seed)
     state = trainer.init_state(rng)

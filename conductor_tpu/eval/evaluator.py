@@ -55,12 +55,21 @@ class DiffusionEvaluator:
             # every wave must fill the data axis evenly; round up
             batch_size = -(-batch_size // dp) * dp
         self.batch_size = batch_size
+        # Metric extraction always runs f32, independent of the trainer's
+        # sampler compute dtype: a bf16 feat model would emit bf16 latents,
+        # and the numpy metric reductions downstream would then ACCUMULATE
+        # in bf16 — partial sums saturate and FGD/diversity/SE/MPE collapse
+        # silently (seen: diversity 23 -> 1.7 on identical motions).  The
+        # restored feat weights are f32 either way.
+        from ..models.stgcn import MotionEncoderSTGCN
+
+        self._feat_model = MotionEncoderSTGCN()
         # jitted: eager ST-GCN dispatch is one host round-trip per op —
         # unusable over remote/tunneled devices.
         self._latents_fn = jax.jit(
-            lambda fv, motion: self.trainer.feat_model.apply(
-                fv, motion, method=self.trainer.feat_model.features
-            )[-1]
+            lambda fv, motion: self._feat_model.apply(
+                fv, motion, method=self._feat_model.features
+            )[-1].astype(jnp.float32)
         )
 
     def _latents(self, state: TrainState, motion: jnp.ndarray) -> np.ndarray:

@@ -90,7 +90,10 @@ class M2SGANEvaluator:
             mel = np.asarray(mel)
             real = np.asarray(real)
             rng = jax.random.PRNGKey((seed, i).__hash__() & 0x7FFFFFFF)
-            fake = np.asarray(self.generate_fn(mel, rng))
+            # metric math must run f32: a bf16 generate_fn/latents_fn would
+            # otherwise drive the numpy reductions below to accumulate in
+            # bf16 (partial sums saturate; see eval/evaluator.py)
+            fake = np.asarray(self.generate_fn(mel, rng), np.float32)
             if fake.ndim == 3:
                 fake = fake.reshape(real.shape)
 
@@ -105,8 +108,8 @@ class M2SGANEvaluator:
             sce.append(strength_contour_error(real, fake))
 
             if self.latents_fn is not None:
-                rl = np.asarray(self.latents_fn(real))
-                fl = np.asarray(self.latents_fn(fake))
+                rl = np.asarray(self.latents_fn(real), np.float32)
+                fl = np.asarray(self.latents_fn(fake), np.float32)
                 mpe.append(mean_perceptual_error(rl, fl))
                 real_lat += list(rl.reshape(-1, rl.shape[-1]))
                 fake_lat += list(fl.reshape(-1, fl.shape[-1]))

@@ -61,12 +61,12 @@ def _prologue_kernel(x_ref, emb_ref_in, wj_ref, seqb_ref, h_ref, emb_ref,
     emb = emb_ref_in[0].astype(F32)
     emb_act = emb * jax.nn.sigmoid(emb)  # silu
     if quantize_emb:
-        # symmetric per-row int8 (see pallas_layer.quantize_rows): the int8
-        # write is 4x smaller than the f32 emb_act it replaces
-        scale = jnp.maximum(
-            jnp.max(jnp.abs(emb_act), axis=-1, keepdims=True), 1e-8
-        ) / 127.0
-        emb_ref[0] = jnp.round(emb_act / scale).astype(jnp.int8)
+        from .pallas_layer import quantize_rows
+
+        # symmetric per-row int8; the int8 write is 4x smaller than the
+        # f32 emb_act it replaces
+        q, scale = quantize_rows(emb_act)
+        emb_ref[0] = q
         srow_ref[0][0] = scale
     else:
         emb_ref[0] = emb_act.astype(emb_ref.dtype)

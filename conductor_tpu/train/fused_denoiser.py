@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..models.transformer import timestep_embedding
-from ..ops.pallas_layer import fused_decoder_stack
+from ..ops.pallas_layer import fused_decoder_stack, quantize_rows
 
 
 def _pad_to(x: jnp.ndarray, shape: tuple[int, ...]) -> jnp.ndarray:
@@ -106,8 +106,6 @@ class FusedDenoiser:
         self.vecs = jnp.stack([b[1] for b in banks])
         adaln_w = jnp.stack([b[2] for b in banks])
         if self.adaln_int8:
-            from ..ops.pallas_layer import quantize_rows
-
             # per-COLUMN symmetric int8 (quantize_rows over the E axis via
             # transpose): the AdaLN matmul contracts E, so each output
             # column dequantizes with one scale
@@ -154,8 +152,6 @@ class FusedDenoiser:
         emb_act = nn.silu(temb[:, None, :] + cond["emb_base"])
         emb_scale = None
         if self.adaln_int8:
-            from ..ops.pallas_layer import quantize_rows
-
             emb_act, emb_scale = quantize_rows(emb_act)
         else:
             emb_act = emb_act.astype(self.mxu_dtype)

@@ -215,10 +215,15 @@ class M2SNetTrainer:
                 lambda x: jnp.zeros(jnp.shape(x), jnp.result_type(x)), t
             )
             g0 = zeros_like(state.params)
-            m0 = {
-                "loss": jnp.zeros(()), "accuracy": jnp.zeros(()),
-                "sync_prob": jnp.zeros(()), "non_sync_prob": jnp.zeros(()),
-            }
+            # metrics carry init derived from loss_fn itself (eval_shape is
+            # trace-only) so new metrics keys can't desync the scan carry
+            chunk0 = jax.tree_util.tree_map(lambda x: x[0], chunks)
+            _, (_, m_shape) = jax.eval_shape(
+                loss_fn, state.params, state.batch_stats, chunk0
+            )
+            m0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), m_shape
+            )
             (stats, gsum, msum), _ = jax.lax.scan(
                 body, (state.batch_stats, g0, m0), chunks
             )

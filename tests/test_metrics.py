@@ -233,3 +233,48 @@ class TestBeatTrackerGolden:
         anti = beat_consistency(motion_with_phase(np.pi), mel, beat_scale=1 / 3)
         assert aligned > anti
         assert aligned > 0.3
+
+
+class TestEvaluatorLatentDtype:
+    def test_latents_f32_under_bf16_config(self):
+        """Regression: with compute_dtype=bfloat16 the evaluator must still
+        extract f32 latents — bf16 latents make the numpy metric reductions
+        accumulate in bf16 and saturate (diversity/SE/MPE collapse ~10-300x
+        on identical motions)."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from conductor_tpu.config import Config, DenoiserConfig
+        from conductor_tpu.eval import DiffusionEvaluator
+        from conductor_tpu.train import DDPMTrainer
+
+        base = Config(
+            denoiser=DenoiserConfig(
+                num_frames=32, latent_dim=32, ff_size=16, num_layers=2,
+                num_heads=4,
+            )
+        )
+        base = base.replace(
+            diffusion=dataclasses.replace(base.diffusion, steps=8,
+                                          schedule="cosine"),
+            train=dataclasses.replace(base.train, sample_length=1),
+        )
+        rng = jax.random.PRNGKey(0)
+        motion = jax.random.uniform(rng, (2, 30, 13, 2))
+
+        tr32 = DDPMTrainer(base)
+        st = tr32.init_state(rng)
+        lat32 = DiffusionEvaluator(tr32, batch_size=2)._latents(st, motion)
+
+        cfg16 = base.replace(
+            denoiser=dataclasses.replace(base.denoiser,
+                                         compute_dtype="bfloat16")
+        )
+        lat16 = DiffusionEvaluator(DDPMTrainer(cfg16), batch_size=2)._latents(
+            st, motion
+        )
+        assert lat16.dtype == np.float32
+        # same weights, f32 extraction on both sides -> identical latents
+        np.testing.assert_allclose(lat16, lat32, atol=1e-6)

@@ -82,11 +82,13 @@ def test_m2sgan_diversity_is_per_clip(batches):
     ev = M2SGANEvaluator(generate_fn, latents_fn=latents_fn)
     out = ev.evaluate(batches, with_beat=False)
 
-    # recompute the expected per-clip diversity by hand with the same rngs
+    # recompute the expected per-clip diversity by hand with the same rngs,
+    # mirroring the evaluator's f32 boundary casts (metric math runs f32)
     clip_lat = []
     for i, (mel, real) in enumerate(batches):
         rng = jax.random.PRNGKey((0, i).__hash__() & 0x7FFFFFFF)
-        fl = latents_fn(generate_fn(np.asarray(mel), rng))
+        fake = np.asarray(generate_fn(np.asarray(mel), rng), np.float32)
+        fl = np.asarray(latents_fn(fake), np.float32)
         clip_lat += [fl[b] for b in range(fl.shape[0])]
     np.testing.assert_allclose(out["Diversity"], diversity_score(clip_lat), rtol=1e-12)
 
