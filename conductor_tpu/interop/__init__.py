@@ -9,6 +9,14 @@ those trees weight-for-weight onto the flax module trees, so published
 reference weights run on TPU unchanged.
 """
 
+from .torch_export import (
+    export_m2snet,
+    export_motion_encoder,
+    export_motion_transformer,
+    export_music_encoder,
+    save_diffusion_tar,
+    save_torch_state_dict,
+)
 from .torch_import import (
     import_m2snet,
     import_motion_encoder,
@@ -21,6 +29,10 @@ from .torch_import import (
 )
 
 __all__ = [
+    "export_m2snet",
+    "export_motion_encoder",
+    "export_motion_transformer",
+    "export_music_encoder",
     "import_m2snet",
     "import_motion_encoder",
     "import_motion_transformer",
@@ -28,5 +40,7 @@ __all__ = [
     "load_diffusion_tar",
     "load_torch_state_dict",
     "music_encoder_from_m2snet",
+    "save_diffusion_tar",
+    "save_torch_state_dict",
     "strip_module_prefix",
 ]
