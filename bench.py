@@ -52,13 +52,15 @@ def main() -> None:
     state = trainer.init_state(rng)
 
     n_chips = len(jax.devices())
-    # 4 clips per chip: the eval-sweep serving shape (the reference's real
+    # 8 clips per chip: the eval-sweep serving shape (the reference's real
     # use of this workload is scoring whole test splits,
     # `eval_new_metrics.py:113-156`, and `cli.evaluate` batches waves the
-    # same way).  Measured on v5e: B=1 9.5k, B=2 10.4k, B=4 11.1k
-    # frames/s/chip — deeper matmuls amortize the per-step serialized VPU
-    # chain (see NOTES.md "Sampling MFU investigation").
-    B = max(1, n_chips) * 4
+    # same way).  Measured on v5e (int8 AdaLN path): 4/chip 13.1k, 8/chip
+    # 13.6k, 16/chip 13.8k frames/s/chip — deeper matmuls amortize the
+    # per-step serialized VPU chain, with diminishing returns past 8 (see
+    # NOTES.md "Sampling MFU investigation"); 8 matches the
+    # DiffusionEvaluator default wave.
+    B = max(1, n_chips) * 8
     T90 = cfg.dataset.clip_seconds * cfg.dataset.mel_hz    # 5400
     T30 = cfg.dataset.clip_seconds * cfg.dataset.motion_hz  # 1800
     mel = jax.random.uniform(rng, (B, T90, cfg.dataset.mel_bins))

@@ -27,7 +27,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--data_root", required=True)
     p.add_argument("--split", default="test")
     p.add_argument("--steps", type=int, default=None, help="DDIM respacing (default: full ladder)")
-    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument(
+        "--batch_size", type=int, default=None,
+        help="clips per generation wave (default: 8 per device under the "
+        "mesh — the measured serving sweet spot; 8 total single-device)",
+    )
     p.add_argument("--max_clips", type=int, default=None)
     p.add_argument("--no_beats", action="store_true", help="skip beat-consistency (slow, host-side)")
     p.add_argument("--seed", type=int, default=0)

@@ -31,7 +31,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--out_dir", default=None, help="default: <run_dir>/viz")
     p.add_argument("--steps", type=int, default=None, help="DDIM respacing (default: full ladder)")
     p.add_argument("--guidance", type=float, default=1.0)
-    p.add_argument("--max_seconds", type=float, default=60.0)
+    p.add_argument(
+        "--max_seconds", type=float, default=60.0,
+        help="truncate the audio (reference behavior: first 60 s only); "
+        "0 = no cap: chunk the full track into 60-s windows "
+        "(prospective.unseen.generate_long) and concatenate",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_npy", action="store_true", help="also save the raw (T,13,2) motion")
     return p
@@ -45,13 +50,36 @@ def main(argv=None) -> None:
     state = trainer.init_state(rng)
     state = CheckpointManager(os.path.join(args.run_dir, "ckpt")).restore(state)
 
-    mel = extract_mel_feature(args.music, max_seconds=args.max_seconds)
+    mel = extract_mel_feature(
+        args.music, max_seconds=args.max_seconds if args.max_seconds > 0 else None
+    )
     print(f"mel: {mel.shape} ({mel.shape[0] / 90:.1f} s)")
 
-    motion = trainer.generate(
-        state, mel[None], rng, num_steps=args.steps, guidance_scale=args.guidance
-    )
-    motion = np.asarray(motion[0]).reshape(-1, cfg.dataset.n_joints, cfg.dataset.joint_dim)
+    if mel.shape[0] > cfg.dataset.clip_seconds * cfg.dataset.mel_hz:
+        # longer than the model's learned sequence-embedding horizon:
+        # generate 60-s windows independently and concatenate (the same
+        # chunking contract as the reference's unseen-music kit)
+        from ..prospective.unseen import generate_long
+
+        motion = generate_long(
+            lambda m: trainer.generate(
+                state, m, rng, num_steps=args.steps,
+                guidance_scale=args.guidance,
+            ),
+            mel,
+            chunk_seconds=cfg.dataset.clip_seconds,
+            mel_hz=cfg.dataset.mel_hz,
+            motion_hz=cfg.dataset.motion_hz,
+            n_joints=cfg.dataset.n_joints,
+            joint_dim=cfg.dataset.joint_dim,
+        )
+    else:
+        motion = trainer.generate(
+            state, mel[None], rng, num_steps=args.steps, guidance_scale=args.guidance
+        )
+        motion = np.asarray(motion[0]).reshape(
+            -1, cfg.dataset.n_joints, cfg.dataset.joint_dim
+        )
 
     out_dir = args.out_dir or os.path.join(args.run_dir, "viz")
     name = os.path.splitext(os.path.basename(args.music))[0]

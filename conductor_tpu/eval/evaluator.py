@@ -47,13 +47,22 @@ class DiffusionEvaluator:
     clip-by-clip on one device (`eval_new_metrics.py:113-156`).
     """
 
-    def __init__(self, trainer: DDPMTrainer, batch_size: int = 8, mesh=None):
+    def __init__(self, trainer: DDPMTrainer, batch_size: int | None = None,
+                 mesh=None):
         self.trainer = trainer
         self.mesh = mesh
         if mesh is not None:
             dp = mesh.devices.size
+            if batch_size is None:
+                # 8 clips per chip: measured serving sweet spot on v5e —
+                # 13.1k (4/chip) -> 13.6k frames/s/chip, and +1% more at
+                # 16/chip isn't worth doubling the wave latency (NOTES.md
+                # "Sampling MFU investigation"; bench.py measures this shape)
+                batch_size = dp * 8
             # every wave must fill the data axis evenly; round up
             batch_size = -(-batch_size // dp) * dp
+        elif batch_size is None:
+            batch_size = 8
         self.batch_size = batch_size
         # Metric extraction always runs f32, independent of the trainer's
         # sampler compute dtype: a bf16 feat model would emit bf16 latents,

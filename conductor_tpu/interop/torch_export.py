@@ -230,11 +230,18 @@ def export_motion_transformer(variables: Mapping[str, Any]) -> dict:
 # --------------------------------------------------------------- torch I/O
 
 
+def _to_tensor(v: Array):
+    import torch
+
+    # copy: jax/np views can be non-writable, and from_numpy would alias them
+    return torch.from_numpy(np.array(v))
+
+
 def save_torch_state_dict(path: str, sd: Mapping[str, Array]) -> None:
     """Write a ``.pt`` state-dict file torch can load (requires torch)."""
     import torch
 
-    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, path)
+    torch.save({k: _to_tensor(v) for k, v in sd.items()}, path)
 
 
 def save_diffusion_tar(
@@ -268,9 +275,7 @@ def save_diffusion_tar(
     }
     torch.save(
         {
-            "encoder": {
-                k: torch.from_numpy(np.asarray(v)) for k, v in encoder_sd.items()
-            },
+            "encoder": {k: _to_tensor(v) for k, v in encoder_sd.items()},
             "opt_encoder": opt_encoder,
             "ep": int(ep),
             "total_it": int(total_it),
