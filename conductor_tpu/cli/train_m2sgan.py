@@ -38,8 +38,24 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--w_mse", type=float, default=0.0)
     p.add_argument("--w_gp", type=float, default=10.0)
     p.add_argument("--evaluate_epoch", type=int, default=10)
+    p.add_argument("--eval_batches", type=int, default=None,
+                   help="cap the test batches per evaluation sweep "
+                        "(default: the whole test split, like the reference)")
+    p.add_argument("--no_eval_beats", action="store_true",
+                   help="skip beat consistency in the periodic eval (host-side, slow)")
     p.add_argument("--limit_hours", type=float, default=None)
+    p.add_argument("--test_limit_hours", type=float, default=None,
+                   help="reference --testing_set_limit (hours of test data)")
     p.add_argument("--seed", type=int, default=19990319)
+    p.add_argument("--continue", dest="is_continue", action="store_true",
+                   help="resume from the run dir's latest checkpoint")
+    p.add_argument("--train_music_encoder", action="store_true",
+                   help="unfreeze the transferred music encoder "
+                        "(reference --train_music_encoder, default frozen)")
+    p.add_argument("--no_transfer_music_encoder", action="store_true",
+                   help="keep the generator's random-init music encoder; the "
+                        "M2SNet checkpoint still supplies the SyncLoss net "
+                        "(reference --transfer_music_encoder False)")
     p.add_argument("--music_encoder_impl", default="flax", choices=["flax", "pallas"],
                    help="frozen music-encoder path: flax f32 or fused bf16 kernels")
     p.add_argument("--sync_encoder_dtype", default="float32",
@@ -63,6 +79,7 @@ def main(argv=None) -> None:
         music_encoder_impl=args.music_encoder_impl,
         sync_encoder_dtype=args.sync_encoder_dtype,
         sync_encoder_impl=args.sync_encoder_impl,
+        train_music_encoder=args.train_music_encoder,
     )
     rng = jax.random.PRNGKey(args.seed)
 
@@ -72,31 +89,77 @@ def main(argv=None) -> None:
 
         restored = restore_raw(args.m2snet_ckpt)
         params, stats = restored["params"], restored.get("batch_stats", {})
+        # the SyncLoss motion encoder always comes from the M2SNet ckpt; the
+        # music-encoder transfer is separately togglable
+        # (`M2SGAN_train.py:43-64`, --transfer_music_encoder)
         transfer = dict(
-            m2snet_music_params=params["music_encoder"],
-            m2snet_music_stats=stats.get("music_encoder"),
             m2snet_motion_variables={
                 "params": params["motion_encoder"],
                 "batch_stats": stats.get("motion_encoder", {}),
             },
         )
+        if not args.no_transfer_music_encoder:
+            transfer.update(
+                m2snet_music_params=params["music_encoder"],
+                m2snet_music_stats=stats.get("music_encoder"),
+            )
     state = trainer.init_state(rng, **transfer)
+    ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
+    if args.is_continue and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"resumed from step {int(state.step)}")
 
     ds = ConductorMotionDataset(
         args.data_root, "train", sample_length=args.sample_length,
         mode="sequential", limit_hours=args.limit_hours,
     )
     loader = BatchIterator(ds, args.batch_size, seed=args.seed)
-    ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
+    test_ds = ConductorMotionDataset(
+        args.data_root, "test", sample_length=args.sample_length,
+        mode="sequential", limit_hours=args.test_limit_hours,
+    )
+    test_loader = BatchIterator(test_ds, args.batch_size, shuffle=False, seed=0)
     logger = MetricLogger(run_dir)
 
-    it = 0
+    # the reference's periodic full-suite evaluation
+    # (`M2SGAN_train.py:128-141` -> `M2SGAN_eval.py:62-191`): realism +
+    # consistency + FGD/Diversity/BC on the test split
+    from ..eval.stage1 import M2SGANEvaluator
+    from ..models.stgcn import MotionEncoderSTGCN
+
+    feat_model = MotionEncoderSTGCN()
+    latents_fn = jax.jit(
+        lambda fv, motion: feat_model.apply(
+            fv, motion, method=feat_model.features
+        )[-1].astype("float32")
+    )
+    evaluator = M2SGANEvaluator(
+        lambda mel, erng: trainer.generate(state, mel, erng),
+        latents_fn=lambda motion: latents_fn(state.sync_variables, motion),
+    )
+
+    def eval_batches():
+        for i, (mel, motion, _) in enumerate(test_loader):
+            if args.eval_batches is not None and i >= args.eval_batches:
+                return
+            yield mel, motion
+
+    it = int(state.step)
     for epoch in range(args.epochs):
         for mel, motion, _ in loader:
             state, metrics = trainer.train_step(state, (mel, motion), rng)
             it += 1
             logger.log(it, metrics, epoch=epoch)
         if epoch % args.evaluate_epoch == 0:
+            scores = evaluator.evaluate(
+                eval_batches(), seed=args.seed,
+                with_beat=not args.no_eval_beats,
+            )
+            logger.log(it, scores, epoch=epoch)
+            print(
+                f"eval@{epoch}: "
+                + " ".join(f"{k}={v:.5f}" for k, v in sorted(scores.items()))
+            )
             # real-vs-generated trace plot, the reference's per-eval image
             # dump (`M2SGAN_eval.py:150-181` via `train_utils.plot_motion`)
             sample = next(iter(loader), None)

@@ -35,8 +35,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--clip_length", type=int, default=10)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--evaluate_epoch", type=int, default=5)
+    p.add_argument("--eval_batches", type=int, default=None,
+                   help="cap the test batches per evaluation sweep "
+                        "(default: the whole test split, like the reference)")
     p.add_argument("--limit_hours", type=float, default=None)
+    p.add_argument("--test_limit_hours", type=float, default=None,
+                   help="reference --testing_set_limit (hours of test data)")
     p.add_argument("--seed", type=int, default=19990319)
+    p.add_argument("--continue", dest="is_continue", action="store_true",
+                   help="resume from the run dir's latest checkpoint "
+                        "(reference --M2SNet ckpt path)")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="encoder compute dtype (bf16 = opt-in fast path)")
@@ -76,6 +84,9 @@ def main(argv=None) -> None:
     rng = jax.random.PRNGKey(args.seed)
     state = trainer.init_state(rng)
     ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
+    if args.is_continue and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"resumed from step {int(state.step)}")
     logger = MetricLogger(run_dir)
 
     train_ds = ConductorMotionDataset(
@@ -83,12 +94,25 @@ def main(argv=None) -> None:
         mode="sequential", limit_hours=args.limit_hours,
     )
     test_ds = ConductorMotionDataset(
-        args.data_root, "test", sample_length=args.sample_length, mode="sequential"
+        args.data_root, "test", sample_length=args.sample_length,
+        mode="sequential", limit_hours=args.test_limit_hours,
     )
     loader = BatchIterator(train_ds, args.batch_size, seed=args.seed)
     test_loader = BatchIterator(test_ds, args.batch_size, shuffle=False, seed=0)
 
-    it = 0
+    # 3-difficulty sweep over the test split, the reference's per-eval
+    # protocol (`M2SNet_eval.py:34-121`)
+    from ..eval.stage1 import M2SNetEvaluator
+
+    evaluator = M2SNetEvaluator(trainer)
+
+    def eval_batches():
+        for i, (mel, motion, _) in enumerate(test_loader):
+            if args.eval_batches is not None and i >= args.eval_batches:
+                return
+            yield mel, motion
+
+    it = int(state.step)
     for epoch in range(args.epochs):
         # epoch 0 pre-trains with easy negatives (`M2SNet_train.py:81-86`)
         epoch_strategy = "easy" if epoch == 0 else strategy
@@ -97,15 +121,21 @@ def main(argv=None) -> None:
             it += 1
             logger.log(it, metrics, epoch=epoch)
         if epoch % args.evaluate_epoch == 0:
-            evals = {}
+            results = evaluator.evaluate(state, eval_batches(), seed=args.seed)
+            evals = {
+                f"{k}_{s}": v
+                for s, ms in results.items() for k, v in ms.items()
+            }
+            if evals:
+                logger.log(it, evals, epoch=epoch)
+                acc = " ".join(
+                    f"acc_{s}={ms['accuracy']:.5f}" for s, ms in results.items()
+                )
+                print(f"eval@{epoch}: {acc}")
+            # encoder feature-map images, the reference's per-eval
+            # training-health dump (`M2SNet_eval.py:110-116`)
             batch = next(iter(test_loader), None)
             if batch is not None:
-                for s in ("easy", "hard", "super_hard"):
-                    r = trainer.evaluate(state, (batch[0], batch[1]), rng, s)
-                    evals[f"acc_{s}"] = r["accuracy"]
-                print(f"eval@{epoch}: " + " ".join(f"{k}={v:.5f}" for k, v in evals.items()))
-                # encoder feature-map images, the reference's per-eval
-                # training-health dump (`M2SNet_eval.py:110-116`)
                 mfeats, yfeats = trainer.model.apply(
                     {"params": state.params, "batch_stats": state.batch_stats},
                     np.asarray(batch[0][:1]), np.asarray(batch[1][:1]),

@@ -61,6 +61,7 @@ class M2SGANTrainer:
         music_encoder_impl: str = "flax",  # "flax" | "pallas" (fused bf16)
         sync_encoder_dtype: str = "float32",  # frozen SyncLoss ST-GCN dtype
         sync_encoder_impl: str = "flax",   # "flax" | "pallas" (fused kernels)
+        train_music_encoder: bool = False,
     ):
         self.sample_length = sample_length
         self.critic_iters = critic_iters
@@ -69,7 +70,17 @@ class M2SGANTrainer:
         self.gp_terms = gp_terms
         self.music_encoder_impl = music_encoder_impl
         self.sync_encoder_impl = sync_encoder_impl
-        self.G = Generator(freeze_music_encoder=True)
+        # reference `--train_music_encoder` (`M2SGAN_train.py:63-64,179`):
+        # unfreeze the (usually transferred) music encoder so generator
+        # updates reach it.  Incompatible with the hoisted frozen-encoder
+        # fast paths below.
+        self.train_music_encoder = train_music_encoder
+        if train_music_encoder and music_encoder_impl != "flax":
+            raise ValueError(
+                "music_encoder_impl='pallas' is an inference-only fast path "
+                "for the FROZEN encoder; use 'flax' with train_music_encoder"
+            )
+        self.G = Generator(freeze_music_encoder=not train_music_encoder)
         self.D = Discriminator1DCNN()
         # frozen perceptual net: like the stage-2 feature loss, its matmuls
         # sit on the generator-step critical path, so bf16 is offered as an
@@ -157,10 +168,16 @@ class M2SGANTrainer:
 
         # one fake, reused for all critic iterations (`M2SGAN_train.py:85-103`)
         g_vars = {"params": state.g_params, "batch_stats": state.g_batch_stats}
-        hx = self._music_features(g_vars, mel)
-        fake_detached = jax.lax.stop_gradient(
-            self.G.apply(g_vars, hx, noise, False, method=self.G.decode)
-        )
+        if self.train_music_encoder:
+            hx = None  # no hoisting: encoder output depends on g_params
+            fake_detached = jax.lax.stop_gradient(
+                self.G.apply(g_vars, mel, noise, False)
+            )
+        else:
+            hx = self._music_features(g_vars, mel)
+            fake_detached = jax.lax.stop_gradient(
+                self.G.apply(g_vars, hx, noise, False, method=self.G.decode)
+            )
 
         # ---- critic: `critic_iters` updates -------------------------------
         def d_loss_fn(d_params, gp_key):
@@ -185,11 +202,17 @@ class M2SGANTrainer:
 
         # ---- generator -----------------------------------------------------
         def g_loss_fn(g_params):
-            out, mut = self.G.apply(
-                {"params": g_params, "batch_stats": state.g_batch_stats},
-                hx, noise, True, mutable=["batch_stats"],
-                method=self.G.decode,
-            )
+            if self.train_music_encoder:
+                out, mut = self.G.apply(
+                    {"params": g_params, "batch_stats": state.g_batch_stats},
+                    mel, noise, True, mutable=["batch_stats"],
+                )
+            else:
+                out, mut = self.G.apply(
+                    {"params": g_params, "batch_stats": state.g_batch_stats},
+                    hx, noise, True, mutable=["batch_stats"],
+                    method=self.G.decode,
+                )
             adv = -self.D.apply({"params": d_params}, out).mean()
             sync = self._sync_loss(state.sync_variables, out, real)
             mse = ((out - real) ** 2).mean()

@@ -92,6 +92,36 @@ class TestVisualizeCLI:
         motion = np.load(os.path.join(out, "tone.npy"))
         assert motion.shape == (60, 13, 2)  # 2 s at 30 Hz
 
+    def test_long_audio_chunked(self, run_dir, tmp_path):
+        """--max_seconds 0 on audio past the 60-s model horizon: the track is
+        chunked into 60-s windows (prospective.unseen.generate_long) instead
+        of truncated (the reference's visualization.py only ever renders the
+        first 60 s)."""
+        pytest.importorskip("cv2")
+        from conductor_tpu.cli.visualize import main
+
+        sr = 22050
+        seconds = 65  # 60-s window + a >=5-s tail window
+        t = np.arange(sr * seconds) / sr
+        y = (0.4 * np.sin(2 * np.pi * 330 * t) * 32767).astype(np.int16)
+        wav = str(tmp_path / "long.wav")
+        with wave.open(wav, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(y.tobytes())
+
+        out = str(tmp_path / "viz_long")
+        main([
+            "--run_dir", run_dir, "--music", wav, "--out_dir", out,
+            "--steps", "2", "--max_seconds", "0", "--save_npy",
+        ])
+        motion = np.load(os.path.join(out, "long.npy"))
+        # 65 s at 30 Hz: both the full window and the 5-s tail generated
+        assert motion.shape[0] >= seconds * 30
+        assert motion.shape[1:] == (13, 2)
+        assert np.abs(motion[:1950]).sum() > 0
+
 
 class TestEvaluateCLI:
     def test_metrics_json(self, run_dir, synth_root):
@@ -178,6 +208,33 @@ class TestCrossStageGraft:
         assert os.path.isfile(
             os.path.join(ckpts, "ConductorMotion100", "grafted", "metrics.jsonl")
         )
+
+
+class TestStage1GANCLI:
+    def test_m2sgan_cli_full_eval_and_resume(self, synth_root, tmp_path_factory):
+        """The GAN CLI runs the reference's periodic full metric suite
+        (`M2SGAN_train.py:128-141`) and resumes with --continue."""
+        from conductor_tpu.cli.train_m2sgan import main as m2sgan_main
+
+        ckpts = str(tmp_path_factory.mktemp("ckpts_gan"))
+        common = [
+            "--data_root", synth_root, "--checkpoints_dir", ckpts,
+            "--batch_size", "4", "--sample_length", "6", "--critic_iters", "1",
+            "--evaluate_epoch", "1", "--eval_batches", "1", "--no_eval_beats",
+        ]
+        m2sgan_main(common + ["--epochs", "1"])
+        run = os.path.join(ckpts, "M2SGAN", "M2SGAN")
+        with open(os.path.join(run, "metrics.jsonl")) as f:
+            records = [json.loads(l) for l in f]
+        keys = set().union(*(set(r) for r in records))
+        # train metrics + the evaluator's realism/consistency/FGD suite
+        assert {"w_distance", "MSE", "RDE", "SCE", "MPE", "FGD", "Diversity"} <= keys
+        steps1 = max(r["step"] for r in records)
+
+        m2sgan_main(common + ["--epochs", "1", "--continue"])
+        with open(os.path.join(run, "metrics.jsonl")) as f:
+            records = [json.loads(l) for l in f]
+        assert max(r["step"] for r in records) > steps1
 
 
 class TestPreemptionSafety:

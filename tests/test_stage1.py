@@ -244,3 +244,37 @@ class TestM2SGANTrainer:
             assert np.isfinite(float(m_fast[k])), k
         # same init, same data: the adversarial losses should be close
         assert abs(float(m_ref["w_distance"]) - float(m_fast["w_distance"])) < 0.05
+
+    def test_train_music_encoder_flag(self, rng):
+        """Reference `--train_music_encoder` (`M2SGAN_train.py:63-64,179`):
+        unfrozen, the transferred encoder receives generator updates; frozen
+        (default), it stays bit-identical."""
+        mel = jax.random.uniform(rng, (2, 6 * 90, 128))
+        real = jax.random.uniform(jax.random.fold_in(rng, 1), (2, 180, 13, 2))
+
+        def first_leaf(state):
+            return np.asarray(
+                jax.tree_util.tree_leaves(state.g_params["music_encoder"])[0]
+            )
+
+        frozen = M2SGANTrainer(sample_length=6, critic_iters=1)
+        s = frozen.init_state(rng)
+        before = first_leaf(s)
+        s, _ = frozen.train_step(s, (mel, real), rng)
+        np.testing.assert_array_equal(first_leaf(s), before)
+
+        trainable = M2SGANTrainer(
+            sample_length=6, critic_iters=1, train_music_encoder=True
+        )
+        s = trainable.init_state(rng)
+        before = first_leaf(s)
+        s, metrics = trainable.train_step(s, (mel, real), rng)
+        assert np.abs(first_leaf(s) - before).max() > 0
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), k
+
+    def test_train_music_encoder_rejects_pallas_encoder(self, rng):
+        import pytest
+
+        with pytest.raises(ValueError):
+            M2SGANTrainer(train_music_encoder=True, music_encoder_impl="pallas")
