@@ -24,6 +24,9 @@ from ..train import CheckpointManager, DDPMTrainer
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--run_dir", required=True)
+    p.add_argument("--step", type=int, default=None,
+                   help="checkpoint step to load (reference --which_epoch); "
+                   "default: latest")
     p.add_argument("--data_root", required=True)
     p.add_argument("--split", default="test")
     p.add_argument("--steps", type=int, default=None, help="DDIM respacing (default: full ladder)")
@@ -80,7 +83,9 @@ def main(argv=None) -> None:
     trainer = DDPMTrainer(cfg)
     rng = jax.random.PRNGKey(args.seed)
     state = trainer.init_state(rng)
-    state = CheckpointManager(os.path.join(args.run_dir, "ckpt")).restore(state)
+    state = CheckpointManager(os.path.join(args.run_dir, "ckpt")).restore(
+        state, step=args.step
+    )
 
     mesh = None
     if not args.single_device and len(jax.devices()) > 1:

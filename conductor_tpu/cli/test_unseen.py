@@ -29,6 +29,9 @@ from ..viz.motion import mux_audio, render_motion_video
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--run_dir", required=True)
+    p.add_argument("--step", type=int, default=None,
+                   help="checkpoint step to load (reference --which_epoch); "
+                   "default: latest")
     p.add_argument("--music_dir", required=True, help="directory of audio files")
     p.add_argument("--out_dir", default=None, help="default: <run_dir>/unseen")
     p.add_argument("--cache_dir", default=None, help="mel cache (default: <music_dir>/cache)")
@@ -43,7 +46,9 @@ def main(argv=None) -> None:
     trainer = DDPMTrainer(cfg)
     rng = jax.random.PRNGKey(args.seed)
     state = trainer.init_state(rng)
-    state = CheckpointManager(os.path.join(args.run_dir, "ckpt")).restore(state)
+    state = CheckpointManager(os.path.join(args.run_dir, "ckpt")).restore(
+        state, step=args.step
+    )
 
     out_dir = args.out_dir or os.path.join(args.run_dir, "unseen")
     cache_dir = args.cache_dir or os.path.join(args.music_dir, "cache")

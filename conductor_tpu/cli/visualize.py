@@ -27,6 +27,9 @@ from ..viz.motion import mux_audio, render_motion_video
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--run_dir", required=True, help="training run dir (contains config.json, ckpt/)")
+    p.add_argument("--step", type=int, default=None,
+                   help="checkpoint step to load (reference --which_epoch); "
+                   "default: latest")
     p.add_argument("--music", required=True, help="audio file (wav natively; others need soundfile)")
     p.add_argument("--out_dir", default=None, help="default: <run_dir>/viz")
     p.add_argument("--steps", type=int, default=None, help="DDIM respacing (default: full ladder)")
@@ -48,7 +51,9 @@ def main(argv=None) -> None:
     trainer = DDPMTrainer(cfg)
     rng = jax.random.PRNGKey(args.seed)
     state = trainer.init_state(rng)
-    state = CheckpointManager(os.path.join(args.run_dir, "ckpt")).restore(state)
+    state = CheckpointManager(os.path.join(args.run_dir, "ckpt")).restore(
+        state, step=args.step
+    )
 
     mel = extract_mel_feature(
         args.music, max_seconds=args.max_seconds if args.max_seconds > 0 else None
