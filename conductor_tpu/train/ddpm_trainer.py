@@ -36,6 +36,7 @@ import optax
 
 from ..config import Config
 from ..diffusion import (
+    DiffusionSchedule,
     LossKind,
     MeanType,
     VarType,
@@ -353,9 +354,21 @@ class DDPMTrainer:
             )
         key = (num_steps, guidance_scale, sampler)
         if key not in self._generate_cache:
+            # the (possibly respaced) schedule must be built OUTSIDE the jit:
+            # its tables are host constants (the fused sampler derives numpy
+            # affine tables from them; jnp ops inside a trace would make them
+            # tracers and break that)
+            if num_steps is not None and num_steps < self.sched.num_timesteps:
+                sched = respaced_schedule(
+                    self.cfg.diffusion.schedule,
+                    self.cfg.diffusion.steps,
+                    space_timesteps(self.cfg.diffusion.steps, f"ddim{num_steps}"),
+                )
+            else:
+                sched = self.sched
             self._generate_cache[key] = jax.jit(
                 partial(
-                    self._generate_impl, num_steps=num_steps,
+                    self._generate_impl, sched=sched,
                     guidance_scale=guidance_scale, sampler=sampler,
                 )
             )
@@ -367,7 +380,7 @@ class DDPMTrainer:
         mel: jnp.ndarray,
         rng: jax.Array,
         *,
-        num_steps: int | None,
+        sched: DiffusionSchedule,
         guidance_scale: float,
         sampler: str,
     ) -> jnp.ndarray:
@@ -391,15 +404,6 @@ class DDPMTrainer:
             )
         B, T = xf_proj.shape[0], xf_proj.shape[1]
         src_mask = jnp.ones((B, T, 1))
-
-        if num_steps is not None and num_steps < self.sched.num_timesteps:
-            sched = respaced_schedule(
-                self.cfg.diffusion.schedule,
-                self.cfg.diffusion.steps,
-                space_timesteps(self.cfg.diffusion.steps, f"ddim{num_steps}"),
-            )
-        else:
-            sched = self.sched
 
         # Step-invariant conditioning (music projections + per-layer cross-attn
         # KV) hoisted out of the 1000-step scan — see `precompute_cond` — plus

@@ -210,6 +210,42 @@ class TestCrossStageGraft:
         )
 
 
+class TestProtocolCLI:
+    def test_retrieval_protocol_on_conducting_data(
+        self, run_dir, synth_root, tmp_path_factory
+    ):
+        """The replicated retrieval protocol (reference tools/evaluation.py)
+        runs on ConductorMotion data through the M2SNet co-embedding — the
+        reference harness raises for this dataset."""
+        import jax
+
+        from conductor_tpu.cli.evaluate_protocol import main
+        from conductor_tpu.train import CheckpointManager, M2SNetTrainer
+
+        # a random-init M2SNet checkpoint is a valid co-embedding space
+        m2s_dir = str(tmp_path_factory.mktemp("m2s_proto"))
+        trainer = M2SNetTrainer(sample_length=10, clip_length=2)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        CheckpointManager(os.path.join(m2s_dir, "ckpt")).save(0, state, wait=True)
+
+        main([
+            "--run_dir", run_dir, "--data_root", synth_root,
+            "--m2snet_ckpt", os.path.join(m2s_dir, "ckpt"),
+            "--sample_length", "10", "--batch_size", "4", "--steps", "4",
+            "--top_k", "2", "--diversity_times", "4", "--replications", "2",
+            "--mm_samples", "2", "--mm_repeats", "3",
+        ])
+        with open(os.path.join(run_dir, "protocol_test.json")) as f:
+            report = json.load(f)
+        for metric in ("MatchingScore", "R_precision", "FID", "Diversity",
+                       "MultiModality"):
+            assert metric in report, metric
+        assert "conductor_tpu" in report["FID"]
+        assert np.isfinite(report["FID"]["conductor_tpu"]["mean"])
+        # R-precision is a top-k vector with a 95% CI from 2 replications
+        assert len(report["R_precision"]["conductor_tpu"]["mean"]) == 2
+
+
 class TestStage1GANCLI:
     def test_m2sgan_cli_full_eval_and_resume(self, synth_root, tmp_path_factory):
         """The GAN CLI runs the reference's periodic full metric suite

@@ -79,6 +79,37 @@ def test_fused_generate_end_to_end():
     )
 
 
+def test_fused_generate_respaced_matches_flax():
+    """DDIM respacing (generate(num_steps=K)) through the fused all-kernel
+    path must match the flax sampler on the same rng.  Regression: the
+    respaced schedule used to be built inside the jitted generate, turning
+    its tables into tracers and crashing ddim_affine_tables' numpy math."""
+    base = Config(
+        denoiser=DenoiserConfig(
+            num_frames=32, latent_dim=32, ff_size=16, num_layers=2, num_heads=4
+        ),
+    )
+    base = base.replace(
+        diffusion=dataclasses.replace(base.diffusion, steps=16, schedule="cosine"),
+        train=dataclasses.replace(base.train, sample_length=1),
+    )
+    rng = jax.random.PRNGKey(0)
+    mel = jax.random.uniform(jax.random.PRNGKey(1), (1, 96, 128))
+
+    tr_flax = DDPMTrainer(base)
+    state = tr_flax.init_state(rng)
+    out_flax = tr_flax.generate(state, mel, rng, num_steps=4)
+
+    cfg_fused = base.replace(
+        denoiser=dataclasses.replace(base.denoiser, layer_impl="pallas_fused")
+    )
+    out_fused = DDPMTrainer(cfg_fused).generate(state, mel, rng, num_steps=4)
+    assert np.asarray(out_fused).shape == np.asarray(out_flax).shape
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_flax), atol=5e-4
+    )
+
+
 def test_affine_tables_match_ddim_step():
     """alpha*x0 + beta*x_t must equal the generic ddim_step (eta=0, START_X)."""
     from conductor_tpu.diffusion.gaussian import MeanType
