@@ -45,6 +45,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--continue", dest="is_continue", action="store_true",
                    help="resume from the run dir's latest checkpoint "
                         "(reference --M2SNet ckpt path)")
+    p.add_argument("--music_conv_impl", default="lax",
+                   choices=["lax", "halo"],
+                   help="music-encoder 3x3 convs as lane-filling halo "
+                        "matmuls (ops/halo_conv.py; same math — measured "
+                        "neutral-to-slower on v5e, see NOTES.md)")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="encoder compute dtype (bf16 = opt-in fast path)")
@@ -80,6 +85,7 @@ def main(argv=None) -> None:
         sample_length=args.sample_length, clip_length=args.clip_length, lr=args.lr,
         compute_dtype=args.compute_dtype, share_encodes=args.share_encodes,
         remat=args.remat, microbatch=args.microbatch,
+        music_conv_impl=args.music_conv_impl,
     )
     rng = jax.random.PRNGKey(args.seed)
     state = trainer.init_state(rng)

@@ -47,9 +47,12 @@ class Generator(nn.Module):
     freeze_music_encoder: bool = True
     decoder_kind: str = "tcn"  # "tcn" | "bilstm" (`Generator.py:57-58`)
     dtype: jnp.dtype = jnp.float32
+    music_conv_impl: str = "lax"  # "lax" | "halo" (ops/halo_conv.py)
 
     def setup(self):
-        self.music_encoder = MusicEncoder(dtype=self.dtype)
+        self.music_encoder = MusicEncoder(
+            dtype=self.dtype, conv_impl=self.music_conv_impl
+        )
         if self.decoder_kind == "bilstm":
             self.decoder = PoseDecoderBiLSTM(self.n_joints * 2, dtype=self.dtype)
         else:

@@ -19,9 +19,13 @@ class M2SNet(nn.Module):
 
     latent_dim: int = 64
     dtype: jnp.dtype = jnp.float32
+    music_conv_impl: str = "lax"  # "lax" | "halo" (ops/halo_conv.py)
 
     def setup(self):
-        self.music_encoder = MusicEncoder(out_dim=self.latent_dim, dtype=self.dtype)
+        self.music_encoder = MusicEncoder(
+            out_dim=self.latent_dim, dtype=self.dtype,
+            conv_impl=self.music_conv_impl,
+        )
         self.motion_encoder = MotionEncoderSTGCN(out_dim=self.latent_dim, dtype=self.dtype)
         # fuse_layer: Conv1d(128->64) ReLU, Conv1d(64->64) ReLU, Conv1d(64->1)
         # Sigmoid (`M2SNet.py:14-18`); pointwise convs are per-frame Denses.

@@ -20,25 +20,46 @@ import jax.numpy as jnp
 
 class Conv2dResBlock(nn.Module):
     """Reflect-padded 3x3 conv + BN + ReLU with a residual branch
-    (`MusicEncoder.py:5-27`)."""
+    (`MusicEncoder.py:5-27`).
+
+    ``conv_impl="halo"`` computes the 3x3 conv as lane-filling halo matmuls
+    (`ops/halo_conv.py` — same formulation as the inference Pallas kernels,
+    in differentiable jnp): identical param tree, same math up to float
+    reassociation.  MEASURED NEUTRAL-TO-SLOWER on v5e via XLA (the step is
+    bound by lane-padded elementwise/pool/BN HBM traffic, not the conv
+    matmuls — profile in NOTES.md "M2SNet encoder profile"); kept as tested
+    groundwork for fused training kernels and for other backends."""
 
     features: int
     residual: bool = True
     dtype: jnp.dtype = jnp.float32
+    conv_impl: str = "lax"  # "lax" | "halo"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        y = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
-        y = nn.Conv(self.features, (3, 3), padding="VALID", dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        if self.conv_impl == "halo":
+            from ..ops.halo_conv import HaloConv
+
+            y = HaloConv(self.features, dtype=self.dtype, name="Conv_0")(x)
+        else:
+            y = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+            y = nn.Conv(
+                self.features, (3, 3), padding="VALID", dtype=self.dtype,
+                name="Conv_0",
+            )(y)
+        y = nn.BatchNorm(
+            use_running_average=not train, dtype=self.dtype, name="BatchNorm_0"
+        )(y)
         y = nn.relu(y)
         if not self.residual:
             return y
         if x.shape[-1] == self.features:
             res = x
         else:
-            res = nn.Conv(self.features, (1, 1), dtype=self.dtype)(x)
-            res = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(res)
+            res = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="Conv_1")(x)
+            res = nn.BatchNorm(
+                use_running_average=not train, dtype=self.dtype, name="BatchNorm_1"
+            )(res)
         return y + res
 
 
@@ -51,21 +72,15 @@ class MusicEncoder(nn.Module):
 
     out_dim: int = 64
     dtype: jnp.dtype = jnp.float32
+    conv_impl: str = "lax"  # "lax" | "halo" (trainable halo matmuls)
 
     def setup(self):
-        self.conv1 = [
-            Conv2dResBlock(16, residual=False, dtype=self.dtype),
-            Conv2dResBlock(16, dtype=self.dtype),
-            Conv2dResBlock(16, dtype=self.dtype),
-        ]
-        self.conv2 = [
-            Conv2dResBlock(32, dtype=self.dtype),
-            Conv2dResBlock(32, dtype=self.dtype),
-        ]
-        self.conv3 = [
-            Conv2dResBlock(32, dtype=self.dtype),
-            Conv2dResBlock(32, dtype=self.dtype),
-        ]
+        mk = lambda feats, **kw: Conv2dResBlock(
+            feats, dtype=self.dtype, conv_impl=self.conv_impl, **kw
+        )
+        self.conv1 = [mk(16, residual=False), mk(16), mk(16)]
+        self.conv2 = [mk(32), mk(32)]
+        self.conv3 = [mk(32), mk(32)]
         self.proj = nn.Dense(self.out_dim, dtype=self.dtype)
         self.proj_bn = nn.BatchNorm(dtype=self.dtype)
 

@@ -45,6 +45,7 @@ class M2SNetTrainer:
         share_encodes: bool = False,
         remat: bool = False,
         microbatch: int = 1,
+        music_conv_impl: str = "lax",
     ):
         """``compute_dtype="bfloat16"`` runs the conv encoders in bf16
         (params/BN stats stay f32); ``share_encodes=True`` encodes each
@@ -77,7 +78,10 @@ class M2SNetTrainer:
         self.share_encodes = share_encodes
         self.remat = remat
         self.microbatch = microbatch
-        self.model = M2SNet(latent_dim=latent_dim, dtype=jnp.dtype(compute_dtype))
+        self.model = M2SNet(
+            latent_dim=latent_dim, dtype=jnp.dtype(compute_dtype),
+            music_conv_impl=music_conv_impl,
+        )
         self.tx = optax.adam(lr)
 
         def encode_train(params, stats, mel, mot):
