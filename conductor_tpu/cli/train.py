@@ -188,6 +188,12 @@ def main(argv=None) -> None:
     with mesh:
         state = replicate(state, mesh)
         it = int(state.step)
+        if len(loader) == 0:
+            raise SystemExit(
+                f"no training batches: batch_size={cfg.train.batch_size} "
+                f"exceeds the dataset length ({len(loader.ds)} windows). "
+                "Lower --batch_size or add data."
+            )
         start_epoch = it // max(len(loader), 1)
         for epoch in range(start_epoch, cfg.train.num_epochs):
             loader.epoch = epoch

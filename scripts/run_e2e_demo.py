@@ -50,20 +50,26 @@ def main() -> None:
     if not os.path.isdir(os.path.join(data_root, "train")):
         make_synthetic_dataset(data_root, "train", num_clips=args.train_clips, correlated=True)
         make_synthetic_dataset(data_root, "test", num_clips=args.test_clips, seed=1, correlated=True)
-    print(f"[1/5] dataset: {args.train_clips} train / {args.test_clips} test clips")
+    print(f"[1/7] dataset: {args.train_clips} train / {args.test_clips} test clips")
 
     # ---- stage 1: M2SNet contrastive training (real CLI) ----------------
     from conductor_tpu.cli.train_m2snet import main as m2snet_main
 
     ckpts = os.path.join(args.work, "checkpoints")
+    if os.path.isdir(ckpts):
+        # stale runs would pollute the appended metrics.jsonl curves and the
+        # committed artifacts; the demo owns this work area
+        import shutil
+
+        shutil.rmtree(ckpts)
     m2snet_main([
         "--data_root", data_root, "--checkpoints_dir", ckpts,
         "--mode", "hard", "--epochs", str(args.stage1_epochs),
         "--batch_size", "4", "--sample_length", "30", "--clip_length", "10",
-        "--evaluate_epoch", "2",
+        "--evaluate_epoch", "4", "--eval_batches", "2",
     ])
     m2snet_dir = os.path.join(ckpts, "M2SNet", "M2SNet_hard")
-    print(f"[2/5] stage-1 trained -> {m2snet_dir}")
+    print(f"[2/7] stage-1 trained -> {m2snet_dir}")
 
     # stage-1 eval sweep (M2SNet_eval.py analogue) on the test split
     from conductor_tpu.data import BatchIterator, ConductorMotionDataset
@@ -80,7 +86,7 @@ def main() -> None:
     s1_eval = M2SNetEvaluator(trainer1).evaluate(state1, test_batches[:4])
     with open(os.path.join(args.out, "m2snet_eval.json"), "w") as f:
         json.dump(s1_eval, f, indent=2)
-    print(f"[3/5] stage-1 eval: "
+    print(f"[3/7] stage-1 eval: "
           + " ".join(f"{s}={m['accuracy']:.3f}" for s, m in s1_eval.items()))
 
     # ---- stage 2: diffusion training with the encoder graft (real CLI) --
@@ -95,7 +101,7 @@ def main() -> None:
         "--num_layers", "4", "--num_heads", "4", "--save_latest", "50",
     ])
     run_dir = os.path.join(ckpts, "ConductorMotion100", "e2e_demo")
-    print(f"[4/5] stage-2 trained -> {run_dir}")
+    print(f"[4/7] stage-2 trained -> {run_dir}")
 
     # ---- full metric evaluation (real CLI) -------------------------------
     from conductor_tpu.cli.evaluate import main as eval_main
@@ -124,9 +130,72 @@ def main() -> None:
     with open(os.path.join(args.out, "eval_test_serving.json"), "w") as f:
         json.dump(serving, f, indent=2)
 
+    # ---- retrieval protocol (real CLI; beyond the reference, whose harness
+    # raises for ConductorMotion — `datasets/evaluator.py:281-293`) ---------
+    from conductor_tpu.cli.evaluate_protocol import main as protocol_main
+
+    protocol_main([
+        "--run_dir", run_dir, "--data_root", data_root,
+        "--m2snet_ckpt", os.path.join(m2snet_dir, "ckpt"),
+        "--sample_length", "10", "--batch_size", str(args.test_clips),
+        "--steps", "50", "--replications", "2", "--top_k", "3",
+        "--diversity_times", "10", "--mm_samples", "2", "--mm_repeats", "4",
+    ])
+    with open(os.path.join(run_dir, "protocol_test.json")) as f:
+        protocol = json.load(f)
+    with open(os.path.join(args.out, "protocol_test.json"), "w") as f:
+        json.dump(protocol, f, indent=2)
+    print(f"[6/7] protocol: FID={protocol['FID']['conductor_tpu']['mean']:.3f} "
+          f"R@1={protocol['R_precision']['conductor_tpu']['mean'][0]:.3f}")
+
+    # ---- torch-format export round-trip (real CLIs) ----------------------
+    # TPU-trained checkpoints written back to the reference's formats, then
+    # re-imported: the round trip must reproduce the flax trees exactly.
+    roundtrip = "skipped (torch not available)"
+    try:
+        import torch  # noqa: F401
+
+        from conductor_tpu.cli.export_torch import main as export_main
+        from conductor_tpu.cli.import_torch import main as import_main
+
+        tar = os.path.join(args.work, "e2e_export_latest.tar")
+        export_main(["diffusion", "--run_dir", run_dir, "--output", tar])
+        pt = os.path.join(args.work, "e2e_export_m2snet.pt")
+        export_main(["m2snet", "--run_dir", m2snet_dir, "--output", pt])
+        reimport = os.path.join(args.work, "e2e_reimported")
+        import_main(["diffusion", "--input", tar, "--output", reimport])
+
+        from conductor_tpu.config import Config
+        from conductor_tpu.train.checkpoints import restore_raw
+
+        orig = restore_raw(os.path.join(run_dir, "ckpt"))
+        back = restore_raw(os.path.join(reimport, "ckpt"))
+        mism = [
+            "/".join(map(str, path))
+            for path, a in jax.tree_util.tree_leaves_with_path(orig["params"])
+            if not np.allclose(
+                a,
+                {"/".join(map(str, p)): v for p, v in
+                 jax.tree_util.tree_leaves_with_path(back["params"])}[
+                     "/".join(map(str, path))],
+                atol=1e-6,
+            )
+        ]
+        assert not mism, f"round-trip mismatches: {mism[:5]}"
+        roundtrip = "exact (export -> latest.tar -> import, all params equal)"
+        print(f"[7/7] torch export round-trip: {roundtrip}")
+    except ImportError:
+        print("[7/7] torch export round-trip skipped (no torch)")
+
     # training curve summary from metrics.jsonl
     with open(os.path.join(run_dir, "metrics.jsonl")) as f:
         recs = [json.loads(l) for l in f]
+    if not recs:
+        raise SystemExit(
+            "stage-2 run logged no steps — batch_size exceeds the number of "
+            "training clips (the random-window dataset yields one entry per "
+            "clip); lower --train_clips/--batch_size ratio"
+        )
     first = np.mean([r["loss"] for r in recs[:10]])
     last = np.mean([r["loss"] for r in recs[-10:]])
 
@@ -145,11 +214,12 @@ def main() -> None:
                 - report["beat_consistency_generated"]
             ) / max(report["beat_consistency_generated"], 1e-9), 3
         ),
+        "torch_export_roundtrip": roundtrip,
         "commands": "see docs/E2E_RUN.md",
     }
     with open(os.path.join(args.out, "run_meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
-    print(f"[5/5] eval: FGD={report['fgd']:.3f} div={report['diversity']:.3f} "
+    print(f"[done] eval: FGD={report['fgd']:.3f} div={report['diversity']:.3f} "
           f"BC_gen={report['beat_consistency_generated']:.3f} "
           f"mse={report['mse']:.5f}; loss {first:.4f} -> {last:.4f} "
           f"({meta['wall_clock_s']} s total)")
