@@ -118,6 +118,11 @@ def main(argv=None) -> None:
                 return
             yield mel, motion
 
+    if len(loader) == 0:
+        raise SystemExit(
+            f"no training batches: batch_size={args.batch_size} exceeds the "
+            "dataset length. Lower --batch_size or add data."
+        )
     it = int(state.step)
     for epoch in range(args.epochs):
         # epoch 0 pre-trains with easy negatives (`M2SNet_train.py:81-86`)
