@@ -59,6 +59,29 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
+def make_generator(trainer, state, rng, *, num_steps, n_joints, joint_dim):
+    """A fresh-noise `generate(cond)` closure for the protocol.
+
+    Folds a per-call counter into the key so every batch of every
+    replication draws independent DDIM noise — the reference regenerates
+    samples per replication by rebuilding its motion loaders
+    (`tools/evaluation.py:160-200`); a fixed key would make every
+    replication identical and collapse the 95 % CIs to zero.
+    """
+    counter = {"i": 0}
+
+    def generate(cond):
+        key = jax.random.fold_in(rng, counter["i"])
+        counter["i"] += 1
+        out = np.asarray(
+            trainer.generate(state, jnp.asarray(cond), key, num_steps=num_steps),
+            np.float32,
+        )
+        return out.reshape(out.shape[0], -1, n_joints, joint_dim)
+
+    return generate
+
+
 def main(argv=None) -> None:
     args = build_argparser().parse_args(argv)
     cfg = Config.load(os.path.join(args.run_dir, "config.json"))
@@ -104,14 +127,10 @@ def main(argv=None) -> None:
                 return
             yield np.asarray(mel), np.asarray(motion)
 
-    J, D = cfg.dataset.n_joints, cfg.dataset.joint_dim
-
-    def generate(cond):
-        out = np.asarray(
-            trainer.generate(state, jnp.asarray(cond), rng, num_steps=args.steps),
-            np.float32,
-        )
-        return out.reshape(out.shape[0], -1, J, D)
+    generate = make_generator(
+        trainer, state, rng, num_steps=args.steps,
+        n_joints=cfg.dataset.n_joints, joint_dim=cfg.dataset.joint_dim,
+    )
 
     mm_generate = None
     mm_conds = None

@@ -133,9 +133,52 @@ def denoiser_config_from_state_dict(sd, num_heads: int = 8) -> DenoiserConfig:
 
 
 def import_diffusion_cmd(args) -> None:
-    enc_sd, meta = load_diffusion_tar(args.input)
+    # --input may be the tar itself or a reference run dir
+    # (checkpoints/<ds>/<name>/ with opt.txt + model/latest.tar) — the run-dir
+    # form re-specifies nothing: architecture comes from the weights, training
+    # hyperparameters from opt.txt (`utils/get_opt.py:29-106`).
+    opt = None
+    tar_path = args.input
+    if os.path.isdir(args.input):
+        from ..interop.opt_txt import resolve_run_dir
+
+        opt, tar_path = resolve_run_dir(args.input, args.which_epoch)
+        print(f"read {os.path.join(args.input, 'opt.txt')} -> {tar_path}")
+
+    enc_sd, meta = load_diffusion_tar(tar_path)
     dcfg = denoiser_config_from_state_dict(enc_sd, args.num_heads)
     cfg = Config(denoiser=dcfg)
+    if opt is not None:
+        # cross-check weight-inferred architecture against the recorded run
+        for opt_key, got in (
+            ("num_layers", dcfg.num_layers),
+            ("latent_dim", dcfg.latent_dim),
+        ):
+            want = opt.get(opt_key)
+            if want is not None and int(want) != got:
+                raise ValueError(
+                    f"opt.txt says {opt_key}={want} but the weights imply "
+                    f"{got} — wrong checkpoint for this run dir?"
+                )
+        cfg = dataclasses.replace(
+            cfg,
+            denoiser=dataclasses.replace(
+                dcfg, efficient_attention=not bool(opt.get("no_eff", False))
+            ),
+            diffusion=dataclasses.replace(
+                cfg.diffusion, steps=int(opt.get("diffusion_steps", 1000))
+            ),
+            train=dataclasses.replace(
+                cfg.train,
+                lr=float(opt.get("lr", cfg.train.lr)),
+                batch_size=int(opt.get("batch_size", cfg.train.batch_size)),
+                num_epochs=int(opt.get("num_epochs", cfg.train.num_epochs)),
+                log_every=int(opt.get("log_every", cfg.train.log_every)),
+                save_latest=int(opt.get("save_latest", cfg.train.save_latest)),
+                save_every_e=int(opt.get("save_every_e", cfg.train.save_every_e)),
+            ),
+        )
+        dcfg = cfg.denoiser
     # clamp the training window to the model's sequence capacity (matters
     # only for reduced-size checkpoints; the reference is 1800 frames)
     max_seconds = dcfg.num_frames // cfg.dataset.motion_hz
@@ -169,7 +212,7 @@ def import_diffusion_cmd(args) -> None:
     if not args.skip_optimizer:
         from ..interop.torch_import import graft_adam_state, load_diffusion_optimizer
 
-        imported_opt = load_diffusion_optimizer(args.input)
+        imported_opt = load_diffusion_optimizer(tar_path)
         if imported_opt is not None:
             mu, nu, count = imported_opt
             state = state.replace(
@@ -187,6 +230,7 @@ def import_diffusion_cmd(args) -> None:
                 "kind": "diffusion",
                 **meta,
                 "denoiser": dataclasses.asdict(dcfg),
+                **({"opt_txt": opt} if opt is not None else {}),
             },
             f,
             indent=2,
@@ -212,8 +256,16 @@ def main(argv=None) -> None:
     pg.add_argument("--output", required=True)
     pg.set_defaults(fn=import_m2sgan_cmd)
 
-    pd = sub.add_parser("diffusion", help="stage-2 latest.tar -> run dir")
-    pd.add_argument("--input", required=True)
+    pd = sub.add_parser(
+        "diffusion",
+        help="stage-2 latest.tar OR reference run dir (opt.txt) -> run dir",
+    )
+    pd.add_argument("--input", required=True,
+                    help="latest.tar, or a reference run dir containing "
+                    "opt.txt + model/latest.tar")
+    pd.add_argument("--which_epoch", default="latest",
+                    help="'latest' or an epoch number (reference "
+                    "--which_epoch; only with a run-dir --input)")
     pd.add_argument("--output", required=True)
     pd.add_argument("--stage1_pt", default=None,
                     help="M2SNet .pt for the perceptual ST-GCN graft")

@@ -46,10 +46,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="resume from the run dir's latest checkpoint "
                         "(reference --M2SNet ckpt path)")
     p.add_argument("--music_conv_impl", default="lax",
-                   choices=["lax", "halo"],
-                   help="music-encoder 3x3 convs as lane-filling halo "
-                        "matmuls (ops/halo_conv.py; same math — measured "
-                        "neutral-to-slower on v5e, see NOTES.md)")
+                   choices=["lax"],
+                   help="music-encoder conv-stage impl (NOTES.md "
+                        "'M2SNet encoder profile')")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="encoder compute dtype (bf16 = opt-in fast path)")

@@ -246,8 +246,20 @@ class BatchIterator:
             idxs = order[b0 + lo : b0 + hi]
             yield self._collate([self.ds[int(i)] for i in idxs])
         rem = len(order) % self.batch_size
-        if rem and not self.drop_last and self.pcount == 1:
-            yield self._collate([self.ds[int(i)] for i in order[-rem:]])
+        if rem and not self.drop_last:
+            # Yield the remainder on EVERY process count: pad with wrapped
+            # indices to a multiple of pcount (the reference
+            # DistributedSampler's round-up duplication,
+            # `datasets/dataloader.py:16-53`) so the per-host slices stay
+            # disjoint-but-exhaustive.  pcount == 1 pads nothing — identical
+            # to the single-host behavior before multi-host existed.
+            tail = order[-rem:]
+            pad = (-rem) % self.pcount
+            if pad:
+                tail = np.concatenate([tail, order[:pad]])
+            per_host = len(tail) // self.pcount
+            idxs = tail[self.pidx * per_host : (self.pidx + 1) * per_host]
+            yield self._collate([self.ds[int(i)] for i in idxs])
         self.epoch += 1
 
     @staticmethod

@@ -265,12 +265,26 @@ class PregeneratedSamples:
 
     def generator(self) -> Callable:
         """A `generate(cond_batch)` closure replaying the cached samples in
-        protocol batch order — plug into `EvaluationProtocol.run`."""
+        protocol batch order — plug into `EvaluationProtocol.run`.
+
+        The cursor wraps at `len(self)` so the replay restarts on every
+        replication (the protocol re-iterates `batches_fn` per replication);
+        without the wrap a `replication_times > 1` run would silently read
+        past the end of the cache and feed empty batches into the metrics.
+        Note a replayed cache makes replications identical by construction —
+        for nonzero CIs on MatchingScore/R-precision/FID use a live
+        fresh-noise generator (`cli.evaluate_protocol.make_generator`)."""
         cursor = {"i": 0}
+        total = len(self)
 
         def gen(cond_batch):
             n = np.shape(cond_batch)[0]
-            i = cursor["i"]
+            i = cursor["i"] % total if total else 0
+            if i + n > total:
+                raise IndexError(
+                    f"replay batch [{i}:{i + n}) crosses the cache end "
+                    f"({total}) — batch boundaries must match generation"
+                )
             cursor["i"] = i + n
             return self.fakes[i : i + n]
 
@@ -281,9 +295,10 @@ class PregeneratedSamples:
         if self.mm_fakes is None:
             return None, None
         cursor = {"i": 0}
+        total = len(self.mm_indices)
 
         def mm_generate(cond):
-            i = cursor["i"]
+            i = cursor["i"] % total if total else 0
             cursor["i"] = i + 1
             return self.mm_fakes[i]
 

@@ -47,7 +47,7 @@ class Generator(nn.Module):
     freeze_music_encoder: bool = True
     decoder_kind: str = "tcn"  # "tcn" | "bilstm" (`Generator.py:57-58`)
     dtype: jnp.dtype = jnp.float32
-    music_conv_impl: str = "lax"  # "lax" | "halo" (ops/halo_conv.py)
+    music_conv_impl: str = "lax"  # music-encoder Conv2dResBlock impl
 
     def setup(self):
         self.music_encoder = MusicEncoder(

@@ -19,7 +19,7 @@ class M2SNet(nn.Module):
 
     latent_dim: int = 64
     dtype: jnp.dtype = jnp.float32
-    music_conv_impl: str = "lax"  # "lax" | "halo" (ops/halo_conv.py)
+    music_conv_impl: str = "lax"  # music-encoder Conv2dResBlock impl
 
     def setup(self):
         self.music_encoder = MusicEncoder(

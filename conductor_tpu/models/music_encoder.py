@@ -22,31 +22,24 @@ class Conv2dResBlock(nn.Module):
     """Reflect-padded 3x3 conv + BN + ReLU with a residual branch
     (`MusicEncoder.py:5-27`).
 
-    ``conv_impl="halo"`` computes the 3x3 conv as lane-filling halo matmuls
-    (`ops/halo_conv.py` — same formulation as the inference Pallas kernels,
-    in differentiable jnp): identical param tree, same math up to float
-    reassociation.  MEASURED NEUTRAL-TO-SLOWER on v5e via XLA (the step is
-    bound by lane-padded elementwise/pool/BN HBM traffic, not the conv
-    matmuls — profile in NOTES.md "M2SNet encoder profile"); kept as tested
-    groundwork for fused training kernels and for other backends."""
+    (A jnp halo-matmul conv impl existed here through round 2 and was
+    measured strictly slower on v5e — the step is bound by lane-padded
+    elementwise/pool/BN HBM traffic, not the conv matmuls; NOTES.md
+    "M2SNet encoder profile".  Deleted; the fused Pallas *training* path
+    selected by ``conv_impl`` is the honest fix.)"""
 
     features: int
     residual: bool = True
     dtype: jnp.dtype = jnp.float32
-    conv_impl: str = "lax"  # "lax" | "halo"
+    conv_impl: str = "lax"  # "lax" (XLA convs)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        if self.conv_impl == "halo":
-            from ..ops.halo_conv import HaloConv
-
-            y = HaloConv(self.features, dtype=self.dtype, name="Conv_0")(x)
-        else:
-            y = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
-            y = nn.Conv(
-                self.features, (3, 3), padding="VALID", dtype=self.dtype,
-                name="Conv_0",
-            )(y)
+        y = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        y = nn.Conv(
+            self.features, (3, 3), padding="VALID", dtype=self.dtype,
+            name="Conv_0",
+        )(y)
         y = nn.BatchNorm(
             use_running_average=not train, dtype=self.dtype, name="BatchNorm_0"
         )(y)
@@ -72,7 +65,7 @@ class MusicEncoder(nn.Module):
 
     out_dim: int = 64
     dtype: jnp.dtype = jnp.float32
-    conv_impl: str = "lax"  # "lax" | "halo" (trainable halo matmuls)
+    conv_impl: str = "lax"
 
     def setup(self):
         mk = lambda feats, **kw: Conv2dResBlock(

@@ -329,49 +329,3 @@ class TestLSTMGenerators:
         y1 = model.apply(variables, x, True, rngs={"dropout": rng})
         y2 = model.apply(variables, x, True, rngs={"dropout": jax.random.fold_in(rng, 1)})
         assert not np.allclose(np.asarray(y1), np.asarray(y2))  # dropout active
-
-
-class TestHaloConvImpl:
-    """`MusicEncoder(conv_impl="halo")` (ops/halo_conv.py): identical param
-    tree and reference math up to float reassociation — the drop-in contract
-    that makes checkpoints interchangeable between impls."""
-
-    def test_param_tree_and_fwd_parity(self, rng):
-        from conductor_tpu.models.music_encoder import MusicEncoder
-
-        mel = jax.random.uniform(jax.random.fold_in(rng, 1), (2, 270, 128))
-        lax_enc = MusicEncoder()
-        halo_enc = MusicEncoder(conv_impl="halo")
-        v = lax_enc.init(rng, mel)
-        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
-            halo_enc.init(rng, mel)
-        )
-        out_a = lax_enc.apply(v, mel)
-        out_b = halo_enc.apply(v, mel)  # same variables, different compute
-        np.testing.assert_allclose(
-            np.asarray(out_a), np.asarray(out_b), atol=1e-4
-        )
-
-    def test_grad_parity(self, rng):
-        from conductor_tpu.models.music_encoder import MusicEncoder
-
-        mel = jax.random.uniform(jax.random.fold_in(rng, 1), (2, 90, 128))
-        lax_enc = MusicEncoder()
-        halo_enc = MusicEncoder(conv_impl="halo")
-        v = lax_enc.init(rng, mel)
-
-        def loss(params, enc):
-            out, _ = enc.apply(
-                {"params": params, "batch_stats": v["batch_stats"]},
-                mel, True, mutable=["batch_stats"],
-            )
-            return (out ** 2).mean()
-
-        ga = jax.grad(loss)(v["params"], lax_enc)
-        gb = jax.grad(loss)(v["params"], halo_enc)
-        jax.tree_util.tree_map(
-            lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=2e-4
-            ),
-            ga, gb,
-        )

@@ -133,6 +133,74 @@ def test_pregenerated_samples():
     assert mm_generate(mm_conds[0]).shape == (4, 6)
 
 
+def test_pregenerated_cursor_wraps_across_replications():
+    """Regression: replication_times > 1 re-iterates the batches; the replay
+    cursor must restart instead of running off the end of the cache."""
+    from conductor_tpu.eval.protocol import PregeneratedSamples
+
+    rs = np.random.RandomState(2)
+    conds = [rs.rand(4).astype(np.float32) for _ in range(6)]
+    pre = PregeneratedSamples(lambda c, repeats=1: c + 1.0, conds, batch_size=3)
+    gen = pre.generator()
+    batches = [np.stack(conds[0:3]), np.stack(conds[3:6])]
+    for _rep in range(3):  # three replications replay identically
+        for cond in batches:
+            out = gen(cond)
+            assert out.shape == cond.shape  # pre-fix: empty past rep 0
+            np.testing.assert_allclose(out, cond + 1.0)
+
+    # mm cursor wraps the same way
+    pre2 = PregeneratedSamples(
+        lambda c, repeats=1: np.repeat(c[:, None], repeats, axis=1),
+        conds, mm_num_samples=2, mm_num_repeats=3, batch_size=3,
+    )
+    mm_generate, mm_conds = pre2.mm_args()
+    first_pass = [mm_generate(c) for c in mm_conds]
+    second_pass = [mm_generate(c) for c in mm_conds]
+    for a, b in zip(first_pass, second_pass):
+        np.testing.assert_allclose(a, b)
+
+    # misaligned batch boundaries fail loudly rather than replaying garbage
+    gen2 = pre.generator()
+    gen2(np.stack(conds[0:2]))
+    try:
+        gen2(np.stack(conds[0:5]))  # [2:7) crosses the end (6)
+        assert False, "expected IndexError"
+    except IndexError:
+        pass
+
+
+def test_make_generator_fresh_noise_per_call():
+    """Regression for the degenerate-CI bug: every generate call (every batch
+    of every replication) must draw a distinct key — a fixed key made all
+    replications identical (committed artifact showed conf == 0.0)."""
+    import jax
+
+    from conductor_tpu.cli.evaluate_protocol import make_generator
+
+    seen_keys = []
+
+    class StubTrainer:
+        def generate(self, state, mel, rng, num_steps=None):
+            seen_keys.append(np.asarray(jax.random.key_data(rng)).tolist())
+            # noise depends on the key -> replications differ
+            return np.asarray(
+                jax.random.normal(rng, (mel.shape[0], 4 * 13 * 2))
+            )
+
+    gen = make_generator(
+        StubTrainer(), state=None, rng=jax.random.PRNGKey(0),
+        num_steps=None, n_joints=13, joint_dim=2,
+    )
+    cond = np.zeros((2, 9, 128), np.float32)
+    rep0 = [gen(cond), gen(cond)]  # two batches, replication 0
+    rep1 = [gen(cond), gen(cond)]  # same batches, replication 1
+    assert len({tuple(k) for k in seen_keys}) == 4  # all keys distinct
+    assert rep0[0].shape == (2, 4, 13, 2)
+    assert not np.allclose(rep0[0], rep1[0])
+    assert not np.allclose(rep0[0], rep0[1])
+
+
 def test_protocol_with_pregenerated():
     from conductor_tpu.eval.protocol import PregeneratedSamples
 

@@ -256,6 +256,94 @@ def test_import_cli_diffusion(tmp_path, transformer_fixture):
     )
 
 
+def test_opt_txt_reader(tmp_path):
+    """`read_opt_txt` reproduces the reference's typed coercion
+    (`utils/get_opt.py:36-49`), plus None and scientific notation."""
+    from conductor_tpu.interop.opt_txt import read_opt_txt
+
+    p = tmp_path / "opt.txt"
+    p.write_text(
+        "------------ Options -------------\n"
+        "batch_size: 32\n"
+        "dataset_name: ConductorMotion100\n"
+        "diffusion_steps: 1000\n"
+        "distributed: False\n"
+        "feat_bias: 25.0\n"
+        "gpu_id: -1\n"
+        "is_continue: True\n"
+        "lr: 0.0002\n"
+        "times: 25\n"
+        "weight_decay: 2e-05\n"
+        "decomp_name: Decomp_SP001_SM001_H512\n"
+        "text_enc_mod: None\n"
+        "-------------- End ----------------\n"
+    )
+    opt = read_opt_txt(str(p))
+    assert opt["batch_size"] == 32 and isinstance(opt["batch_size"], int)
+    assert opt["dataset_name"] == "ConductorMotion100"
+    assert opt["distributed"] is False and opt["is_continue"] is True
+    assert opt["lr"] == 0.0002 and isinstance(opt["lr"], float)
+    assert opt["feat_bias"] == 25.0 and isinstance(opt["feat_bias"], float)
+    assert opt["gpu_id"] == -1 and opt["times"] == 25
+    assert opt["weight_decay"] == 2e-05
+    assert opt["text_enc_mod"] is None
+    assert opt["decomp_name"] == "Decomp_SP001_SM001_H512"
+
+
+def test_import_cli_diffusion_run_dir(tmp_path, transformer_fixture):
+    """A full reference run directory (opt.txt + model/latest.tar) imports
+    verbatim: architecture from the weights, hyperparameters from opt.txt
+    (VERDICT r2 Missing #4; reference layout `tools/train.py:41-45`,
+    `base_options.py:77-89`)."""
+    torch = pytest.importorskip("torch")
+    from conductor_tpu.cli.import_torch import main as import_main
+    from conductor_tpu.config import Config
+
+    _, sd = transformer_fixture
+    run = tmp_path / "checkpoints" / "ConductorMotion100" / "ref_run"
+    (run / "model").mkdir(parents=True)
+    (run / "opt.txt").write_text(
+        "------------ Options -------------\n"
+        "batch_size: 16\n"
+        "dataset_name: ConductorMotion100\n"
+        "diffusion_steps: 1000\n"
+        "latent_dim: 128\n"
+        "log_every: 50\n"
+        "lr: 0.0001\n"
+        "no_eff: False\n"
+        "num_epochs: 400\n"
+        "num_layers: 2\n"
+        "save_every_e: 5\n"
+        "save_latest: 500\n"
+        "-------------- End ----------------\n"
+    )
+    torch.save(
+        {
+            "encoder": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+            "opt_encoder": {},
+            "ep": 1,
+            "total_it": 42,
+        },
+        run / "model" / "latest.tar",
+    )
+    out = tmp_path / "run"
+    import_main(["diffusion", "--input", str(run), "--output", str(out)])
+    cfg = Config.load(str(out / "config.json"))
+    assert cfg.train.lr == 1e-4 and cfg.train.batch_size == 16
+    assert cfg.train.num_epochs == 400 and cfg.train.log_every == 50
+    assert cfg.denoiser.num_layers == 2 and cfg.denoiser.efficient_attention
+    meta = json.load(open(out / "import_meta.json"))
+    assert meta["opt_txt"]["lr"] == 1e-4 and meta["total_it"] == 42
+
+    # architecture cross-check fails loudly on a mismatched run dir
+    bad = tmp_path / "checkpoints" / "ConductorMotion100" / "bad_run"
+    (bad / "model").mkdir(parents=True)
+    (bad / "opt.txt").write_text("num_layers: 8\nlatent_dim: 128\n")
+    os.link(run / "model" / "latest.tar", bad / "model" / "latest.tar")
+    with pytest.raises(ValueError, match="num_layers"):
+        import_main(["diffusion", "--input", str(bad), "--output", str(tmp_path / "x")])
+
+
 def test_adam_state_import(transformer_fixture):
     """Optimizer resume from the stage-2 tar: torch Adam moments land on the
     matching flax leaves with the weight-layout transforms applied
@@ -336,6 +424,103 @@ def test_adam_state_import(transformer_fixture):
     )
     st2, metrics = trainer.train_step(st, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_adam_step_round_trip_vs_torch(transformer_fixture):
+    """One optimizer step on imported moments matches torch.optim.Adam
+    (VERDICT r2 #10): same weights, same moments, same grads -> same post-step
+    weights to ≤1e-5.  Pins that torch's and optax's bias-correction and eps
+    conventions line up, so a resumed run continues the reference's optimizer
+    trajectory rather than silently restarting it
+    (`trainers/ddpm_trainer.py:303-319`)."""
+    torch = pytest.importorskip("torch")
+    import optax
+
+    from conductor_tpu.interop.torch_import import (
+        graft_adam_state,
+        import_adam_state,
+        parameter_names,
+    )
+
+    _, sd = transformer_fixture
+    names = parameter_names(sd)
+    trainable = [n for n in names if not n.startswith("music_encoder.")]
+    rs = np.random.RandomState(3)
+    moments = {
+        n: (
+            rs.randn(*np.shape(sd[n])).astype(np.float32) * 1e-2,
+            rs.rand(*np.shape(sd[n])).astype(np.float32) * 1e-4,
+        )
+        for n in trainable
+    }
+    grads_sd = {
+        n: rs.randn(*np.shape(sd[n])).astype(np.float32) * 0.1 for n in trainable
+    }
+    lr, step0 = 2e-4, 7
+
+    # ---- torch side: real torch.optim.Adam, preloaded state, one step
+    # (.copy() everywhere: from_numpy shares memory and opt.step() mutates
+    # params AND moments in place — without copies the optax side below would
+    # read post-step moments and the module-scoped sd fixture would corrupt)
+    params_t = {
+        n: torch.nn.Parameter(torch.from_numpy(np.asarray(sd[n], np.float32).copy()))
+        for n in trainable
+    }
+    opt = torch.optim.Adam(params_t.values(), lr=lr)
+    osd = opt.state_dict()
+    osd["state"] = {
+        i: {
+            "step": torch.tensor(float(step0)),
+            "exp_avg": torch.from_numpy(moments[n][0].copy()),
+            "exp_avg_sq": torch.from_numpy(moments[n][1].copy()),
+        }
+        for i, n in enumerate(trainable)
+    }
+    opt.load_state_dict(osd)
+    for n, p in params_t.items():
+        p.grad = torch.from_numpy(grads_sd[n])
+    opt.step()
+    post_sd = dict(sd)
+    post_sd.update({n: p.detach().numpy() for n, p in params_t.items()})
+
+    # ---- optax side: import weights + moments, apply the SAME grads
+    opt_sd = {
+        "state": {
+            names.index(n): {
+                "step": np.float32(step0),
+                "exp_avg": moments[n][0],
+                "exp_avg_sq": moments[n][1],
+            }
+            for n in trainable
+        },
+        "param_groups": [{"params": list(range(len(names)))}],
+    }
+    mu, nu, count = import_adam_state(opt_sd, sd)
+    assert count == step0
+    params0 = jax.tree.map(jnp.asarray, import_motion_transformer(sd)["params"])
+    g_sd = {
+        k: grads_sd.get(k, np.zeros_like(np.asarray(v))) for k, v in sd.items()
+    }
+    grads = jax.tree.map(jnp.asarray, import_motion_transformer(g_sd)["params"])
+
+    tx = optax.adam(lr)  # torch defaults: b1=.9 b2=.999 eps=1e-8, eps_root=0
+    opt_state = graft_adam_state(tx.init(params0), mu, nu, count)
+    updates, _ = tx.update(grads, opt_state, params0)
+    params1 = optax.apply_updates(params0, updates)
+
+    expected = import_motion_transformer(post_sd)["params"]
+    jax.tree_util.tree_map_with_path(
+        lambda path, a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5,
+            err_msg=jax.tree_util.keystr(path),
+        ),
+        params1, expected,
+    )
+    # frozen music-encoder weights never move (zero grads + zero moments)
+    np.testing.assert_array_equal(
+        np.asarray(params1["music_encoder"]["proj"]["kernel"]),
+        np.asarray(params0["music_encoder"]["proj"]["kernel"]),
+    )
 
 
 @pytest.fixture(scope="module")
