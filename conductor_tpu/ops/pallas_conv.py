@@ -73,32 +73,59 @@ def _tile(vec: jnp.ndarray, g: int) -> jnp.ndarray:
     return jnp.tile(vec, (g,))
 
 
+def _halo_assemble(xb, *, fb, g, cin, edge, mxu_dtype):
+    """(rows, FB, G*Cin) packed tile -> (rows, FB, (G+2)*Cin) with the conv's
+    +-1 frequency halo columns; F-edge fill is ``edge`` ("reflect" for the
+    encoder's reflect-pad convs, "zero" for the transposed-conv backward)."""
+    tp = xb.shape[0]
+    if fb == 1:
+        if edge == "reflect":
+            left = xb[:, :, cin : 2 * cin]
+            right = xb[:, :, (g - 2) * cin : (g - 1) * cin]
+        else:
+            left = jnp.zeros_like(xb[:, :, :cin])
+            right = jnp.zeros_like(xb[:, :, :cin])
+    else:
+        # edge blocks get the reflected/zero column (no scatter: masked select)
+        blk = jax.lax.broadcasted_iota(jnp.int32, (tp, fb, cin), 1)
+        left = jnp.roll(xb, 1, axis=1)[..., (g - 1) * cin :]
+        left_edge = (
+            xb[:, 0:1, cin : 2 * cin] if edge == "reflect"  # f=-1 -> f=1
+            else jnp.zeros_like(left[:, 0:1])
+        )
+        left = jnp.where(blk == 0, left_edge, left)
+        right = jnp.roll(xb, -1, axis=1)[..., :cin]
+        right_edge = (
+            xb[:, fb - 1 : fb, (g - 2) * cin : (g - 1) * cin]  # f=F -> f=F-2
+            if edge == "reflect" else jnp.zeros_like(right[:, 0:1])
+        )
+        right = jnp.where(blk == fb - 1, right_edge, right)
+    return jnp.concatenate([left, xb, right], axis=-1).astype(mxu_dtype)
+
+
+def stack_time_tiles(x2, tile, nt, *, edge):
+    """(B, T, L) -> (B, nt, tile+2, ...) overlapping tiles with the conv's
+    +-1 time halo; clip-edge rows are reflected or zero."""
+    b, t, _ = x2.shape
+    if edge == "reflect":
+        xp = jnp.concatenate([x2[:, 1:2], x2, x2[:, t - 2 : t - 1]], axis=1)
+    else:
+        zrow = jnp.zeros_like(x2[:, :1])
+        xp = jnp.concatenate([zrow, x2, zrow], axis=1)
+    return jnp.stack(
+        [xp[:, j * tile : j * tile + tile + 2] for j in range(nt)], axis=1
+    )
+
+
 def _conv_kernel(
     xt_ref, wbig_ref, scale_ref, bias_ref, resw_ref, rs_ref, rb_ref, o_ref,
     *, tile: int, fb: int, g: int, cin: int, cout: int,
     res_mode: int, mxu_dtype, pool=None, t_valid: int = 0,
+    relu: bool = True, edge: str = "reflect",
 ):
     # --- F halo: (T+2, FB, G*Cin) tile (T halo pre-stacked by the caller)
-    tp = tile + 2
     xb = xt_ref[0, 0]  # (tile+2, fb, g*cin)
-    if fb == 1:
-        # single freq block: both halos are pure reflection
-        left = xb[:, :, cin : 2 * cin]
-        right = xb[:, :, (g - 2) * cin : (g - 1) * cin]
-    else:
-        # edge blocks get the reflected column (no scatter: masked select)
-        blk = jax.lax.broadcasted_iota(jnp.int32, (tp, fb, cin), 1)
-        left = jnp.roll(xb, 1, axis=1)[..., (g - 1) * cin :]
-        left = jnp.where(
-            blk == 0, xb[:, 0:1, cin : 2 * cin], left  # reflect f=-1 -> f=1
-        )
-        right = jnp.roll(xb, -1, axis=1)[..., :cin]
-        right = jnp.where(
-            blk == fb - 1,
-            xb[:, fb - 1 : fb, (g - 2) * cin : (g - 1) * cin],  # f=F -> f=F-2
-            right,
-        )
-    z = jnp.concatenate([left, xb, right], axis=-1).astype(mxu_dtype)
+    z = _halo_assemble(xb, fb=fb, g=g, cin=cin, edge=edge, mxu_dtype=mxu_dtype)
 
     # --- the three time-shift matmuls
     k = (g + 2) * cin
@@ -111,7 +138,9 @@ def _conv_kernel(
         )
 
     # --- folded BN affine + ReLU
-    y = jnp.maximum(acc * scale_ref[0].astype(F32) + bias_ref[0].astype(F32), 0.0)
+    y = acc * scale_ref[0].astype(F32) + bias_ref[0].astype(F32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
 
     # --- residual
     if res_mode == 1:  # identity (Cin == Cout)
@@ -160,6 +189,8 @@ def fused_conv_block(
     mxu_dtype=jnp.bfloat16,
     pool: tuple | None = None,  # (window, strides, padding) max-pool epilogue
     pool_tile: int | None = None,
+    relu: bool = True,          # False: plain affine epilogue (bwd/transposed use)
+    edge: str = "reflect",      # conv pad semantics: "reflect" | "zero"
 ) -> jnp.ndarray:
     """One Conv2dResBlock (`MusicEncoder.py:5-27`) as a single fused kernel.
     Requires G = 128 // Cin freq-blocking to divide F, and tile | T.
@@ -225,10 +256,9 @@ def fused_conv_block(
         out_shape = (b, t_out, fbn, (g // 2) * cout)
     else:
         nt = t // tile
-        xp = jnp.concatenate([x2[:, 1:2], x2, x2[:, t - 2 : t - 1]], axis=1)
-        xtiles = jnp.stack(
-            [xp[:, j * tile : j * tile + tile + 2] for j in range(nt)], axis=1
-        ).reshape(b, nt, tile + 2, fbn, g * cin)
+        xtiles = stack_time_tiles(x2, tile, nt, edge=edge).reshape(
+            b, nt, tile + 2, fbn, g * cin
+        )
         out_block = (1, tile, fbn, n)
         out_shape = (b, t, fbn, n)
 
@@ -236,7 +266,7 @@ def fused_conv_block(
         functools.partial(
             _conv_kernel, tile=tile, fb=fbn, g=g, cin=cin,
             cout=cout, res_mode=res_mode, mxu_dtype=mxu_dtype,
-            pool=pool_arg, t_valid=t,
+            pool=pool_arg, t_valid=t, relu=relu, edge=edge,
         ),
         grid=(b, nt),
         in_specs=[
