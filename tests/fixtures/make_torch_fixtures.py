@@ -143,6 +143,70 @@ def make_transformer(reference: str):
     print("torch_transformer.npz:", xf_proj.shape, out_full.shape)
 
 
+def make_ddim_trajectory(reference: str):
+    """Record the reference's FULL DDIM sampling chain — float64 schedule
+    tables, posterior coefficients, per-step update (`gaussian_diffusion.py:
+    328-379,783-965`) — on the synthesized tiny transformer: 50 linear steps
+    (the scaled-linear schedule is invalid below ~20 steps: beta_end > 1),
+    per-step x_t recorded.  Pins the whole sampler chain, not just the
+    per-call denoiser parity of torch_transformer.npz."""
+    import torch
+
+    for mod in [m for m in sys.modules if m == "models" or m.startswith("models.")]:
+        del sys.modules[mod]
+    sys.path.insert(0, os.path.join(reference, "Diffusion_Stage"))
+    from models.gaussian_diffusion import (  # type: ignore
+        GaussianDiffusion, LossType, ModelMeanType, ModelVarType,
+        get_named_beta_schedule,
+    )
+    from models.transformer import MotionTransformer  # type: ignore
+
+    model = MotionTransformer(
+        input_feats=26, num_frames=30, latent_dim=128, ff_size=64,
+        num_layers=2, num_heads=8, dropout=0, no_eff=False,
+        music_model_path=None, device="cpu",
+    )
+    manifest = {k: tuple(v.shape) for k, v in model.state_dict().items()}
+    sd = synth_state_dict(manifest, SEED_WEIGHTS)
+    model.load_state_dict(_to_torch(sd), strict=True)
+    model.eval()
+
+    steps = 50
+    diffusion = GaussianDiffusion(
+        betas=get_named_beta_schedule("linear", steps),
+        model_mean_type=ModelMeanType.START_X,
+        model_var_type=ModelVarType.FIXED_SMALL,
+        loss_type=LossType.MSE,
+    )
+
+    rng = np.random.RandomState(SEED_INPUTS)
+    mel = rng.uniform(0, 1, size=(2, 90, 128)).astype(np.float32)
+    noise = rng.normal(0, 1, size=(2, 30, 26)).astype(np.float32)
+    with torch.no_grad():
+        xf_proj, xf_out = model.encode_music(torch.from_numpy(mel), "cpu")
+        traj = []
+        for out in diffusion.ddim_sample_loop_progressive(
+            model, noise.shape, noise=torch.from_numpy(noise),
+            clip_denoised=False,  # the trainer's setting (ddpm_trainer.py:173)
+            model_kwargs={
+                "xf_proj": xf_proj, "xf_out": xf_out,
+                "length": torch.LongTensor([30, 30]),
+            },
+        ):
+            traj.append(out["sample"].numpy())
+    trajectory = np.stack(traj)  # (steps, 2, 30, 26), t = steps-1 .. 0
+
+    np.savez_compressed(
+        os.path.join(OUT_DIR, "torch_ddim_trajectory.npz"),
+        manifest=np.frombuffer(manifest_to_json(manifest).encode(), np.uint8),
+        mel=mel,
+        noise=noise,
+        steps=np.int32(steps),
+        trajectory=trajectory,
+    )
+    print("torch_ddim_trajectory.npz:", trajectory.shape)
+
+
 def make_m2sgan(reference: str):
     import torch
 
@@ -188,4 +252,5 @@ if __name__ == "__main__":
     args = ap.parse_args()
     make_m2snet(args.reference)
     make_transformer(args.reference)
+    make_ddim_trajectory(args.reference)
     make_m2sgan(args.reference)

@@ -145,6 +145,49 @@ def test_transformer_activation_parity(transformer_fixture):
     )
 
 
+def test_ddim_trajectory_parity():
+    """The FULL sampling chain — float64 schedule tables, posterior
+    coefficients, 50 DDIM updates (`gaussian_diffusion.py:328-379,783-965`)
+    — against a recorded torch trajectory on the same synthesized weights
+    and the same initial noise.  Closes the last numeric-parity link: model
+    parity (above) x sampler-chain parity = end-to-end generation parity."""
+    from conductor_tpu.diffusion.sampling import ddim_sample_loop
+    from conductor_tpu.diffusion.schedule import make_schedule
+
+    fx, sd = _load("torch_ddim_trajectory.npz")
+    variables = jax.tree.map(jnp.asarray, import_motion_transformer(sd))
+    model = MotionTransformer(
+        input_feats=26, num_frames=30, latent_dim=128, ff_size=64,
+        num_layers=2, num_heads=8, dropout=0.0, efficient=True,
+    )
+    mel = jnp.asarray(fx["mel"])
+    noise = jnp.asarray(fx["noise"])
+    steps = int(fx["steps"])
+    xf_proj, xf_out = model.apply(variables, mel, method=model.encode_music)
+
+    def model_fn(x, t):
+        return model.apply(variables, x, t, xf_proj, xf_out)
+
+    sched = make_schedule("linear", steps)
+    _, traj = ddim_sample_loop(
+        sched, model_fn, noise.shape, jax.random.PRNGKey(0),
+        clip_denoised=False, noise=noise, return_trajectory=True,
+    )
+    want = fx["trajectory"]  # (steps, 2, 30, 26), t = steps-1 .. 0
+    assert traj.shape == want.shape
+    # drift accumulates over the 50-step chain; bound both the early steps
+    # (tight) and the final sample
+    np.testing.assert_allclose(
+        np.asarray(traj[:10]), want[:10], atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj[-1]), want[-1], atol=1e-3, rtol=1e-3
+    )
+    for s in range(steps):
+        scale = max(float(np.abs(want[s]).max()), 1.0)
+        assert float(np.abs(np.asarray(traj[s]) - want[s]).max()) < 2e-3 * scale, s
+
+
 def test_torch_file_roundtrip(tmp_path, m2snet_fixture):
     """The actual .pt / .tar loading path (requires torch, present in CI)."""
     torch = pytest.importorskip("torch")
