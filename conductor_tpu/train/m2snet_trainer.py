@@ -270,3 +270,47 @@ class M2SNetTrainer:
             self.sample_length, self.clip_length,
         )
         return {k: float(v) for k, v in self._accuracy_impl(state, pairs).items()}
+
+    # ----------------------------------------------------- BN recalibration
+
+    def recalibrate_batch_stats(self, state: M2SNetState, batches) -> M2SNetState:
+        """Precise-BN: replace the momentum-lagged running statistics with
+        the aggregate batch statistics over a calibration set.
+
+        Short runs leave BatchNorm running stats (momentum 0.99) far from
+        the activation distribution the trained weights produce, so
+        eval-mode accuracy sits at chance while train-mode accuracy is high
+        — the reference inherits the same torch-BN lag and simply trains
+        long enough (~36 h) to hide it.  Each train-mode forward exposes the
+        exact per-batch statistics through the running-stat update
+        (batch_stat = (new - m*old) / (1-m)); aggregating them the
+        precise-BN way (mean of means; E[var_i + mu_i^2] - global_mean^2)
+        gives running stats consistent with one full-calibration-set batch.
+        """
+        momentum = 0.99  # flax nn.BatchNorm / _PackedBatchNorm default
+        old = state.batch_stats
+        recovered = []
+        for batch in batches:
+            music, motion = batch
+            _, mut = self.model.apply(
+                {"params": state.params, "batch_stats": old},
+                jnp.asarray(music), jnp.asarray(motion), True,
+                mutable=["batch_stats"],
+            )
+            recovered.append(jax.tree_util.tree_map(
+                lambda new, o: (new - momentum * o) / (1.0 - momentum),
+                mut["batch_stats"], old,
+            ))
+
+        def agg(nodes):
+            first = nodes[0]
+            if hasattr(first, "keys"):
+                if set(first.keys()) == {"mean", "var"}:
+                    n = len(nodes)
+                    mean = sum(s["mean"] for s in nodes) / n
+                    e2 = sum(s["var"] + s["mean"] ** 2 for s in nodes) / n
+                    return {"mean": mean, "var": jnp.maximum(e2 - mean**2, 0.0)}
+                return {k: agg([s[k] for s in nodes]) for k in first.keys()}
+            return sum(nodes) / len(nodes)
+
+        return state.replace(batch_stats=agg(recovered))

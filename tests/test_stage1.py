@@ -128,6 +128,36 @@ class TestM2SNetTrainer:
                 np.asarray(a), np.asarray(b), atol=0.005 * gmax
             )
 
+    def test_bn_recalibration_aligns_eval_mode(self, rng):
+        """Precise-BN recalibration: with running stats replaced by the
+        calibration batch's exact batch statistics, an eval-mode forward on
+        that batch equals the train-mode forward — every BN layer normalizes
+        by the same statistics — so eval-mode accuracy reflects what the
+        weights learned instead of momentum-lagged init stats."""
+        trainer = M2SNetTrainer(sample_length=6, clip_length=2)
+        state = trainer.init_state(rng)
+        music, motion = _clip_batch(rng, B=2, S=6)
+        for _ in range(2):  # let running stats lag behind the weights
+            state, _ = trainer.train_step(state, (music, motion), rng, "easy")
+
+        recal = trainer.recalibrate_batch_stats(state, [(music, motion)])
+        variables = {"params": recal.params, "batch_stats": recal.batch_stats}
+        out_train, _ = trainer.model.apply(
+            variables, music, motion, True, mutable=["batch_stats"]
+        )
+        out_eval = trainer.model.apply(variables, music, motion, False)
+        # the (new - m*old)/(1-m) stat recovery amplifies float rounding
+        # ~100x (m = 0.99); outputs agree to that scale
+        np.testing.assert_allclose(
+            np.asarray(out_train), np.asarray(out_eval), atol=2e-4
+        )
+        # two-batch aggregation stays finite and var-positive
+        recal2 = trainer.recalibrate_batch_stats(
+            state, [(music, motion), (music * 1.5, motion)]
+        )
+        for leaf in jax.tree_util.tree_leaves(recal2.batch_stats):
+            assert np.isfinite(np.asarray(leaf)).all()
+
     def test_microbatch_grad_parity(self, rng):
         """microbatch=2 accumulates the exact full-batch mean gradient when
         BN sees the same statistics — checked by comparing against k=1 with
