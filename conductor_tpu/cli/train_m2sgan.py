@@ -58,6 +58,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(reference --transfer_music_encoder False)")
     p.add_argument("--music_encoder_impl", default="flax", choices=["flax", "pallas"],
                    help="frozen music-encoder path: flax f32 or fused bf16 kernels")
+    p.add_argument("--music_conv_impl", default="lax",
+                   choices=["lax", "pallas_train"],
+                   help="music-encoder conv impl inside the generator: "
+                        "pallas_train = packed trainable kernels (the fast "
+                        "path when --train_music_encoder is set)")
     p.add_argument("--sync_encoder_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="frozen SyncLoss ST-GCN compute dtype")
@@ -80,6 +85,7 @@ def main(argv=None) -> None:
         sync_encoder_dtype=args.sync_encoder_dtype,
         sync_encoder_impl=args.sync_encoder_impl,
         train_music_encoder=args.train_music_encoder,
+        music_conv_impl=args.music_conv_impl,
     )
     rng = jax.random.PRNGKey(args.seed)
 

@@ -46,8 +46,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="resume from the run dir's latest checkpoint "
                         "(reference --M2SNet ckpt path)")
     p.add_argument("--music_conv_impl", default="lax",
-                   choices=["lax"],
-                   help="music-encoder conv-stage impl (NOTES.md "
+                   choices=["lax", "pallas_train"],
+                   help="music-encoder conv-stage impl: lax (XLA convs) or "
+                        "pallas_train (packed trainable kernels, NOTES.md "
                         "'M2SNet encoder profile')")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"],

@@ -1,0 +1,181 @@
+"""Trainable fused conv for the music-encoder stages: custom-VJP around the
+packed Pallas conv kernel (`pallas_conv.py`).
+
+Round-2 profiling (NOTES.md "M2SNet encoder profile") showed the M2SNet step
+is dominated by the music encoder's full-resolution stages, where XLA's
+C-minor NHWC layout lane-pads C=16/32 arrays 4-8x: maxpool backward and BN
+batch-stat reductions alone were 50 % of the 170 ms step, and the convs
+decompose into shifted-add fusions at the padded layout.  The fix is to keep
+training activations in the lane-full packed layout (B, T, F*C) end-to-end:
+
+- forward conv: the existing fused kernel (`fused_conv_block`, relu=False,
+  identity affine) — frequency blocked into G = 128 // Cin columns so every
+  matmul is lane-filling.
+- backward d(input): the SAME kernel run as the transposed conv — the adjoint
+  of a reflect-padded 3x3 conv is a zero-padded 3x3 conv of the cotangent
+  with the flipped/transposed kernel, plus a rank-1 "fold" of the four
+  extended border rows/columns back onto rows/cols 1 and T-2 / F-2 (the
+  adjoint of reflect padding).  The folds touch two rows and two columns and
+  run as tiny XLA einsums.
+- backward d(kernel): dWbig[dt] = z[:, dt:dt+T]^T dy in the packed halo
+  layout — three lane-full matmuls over the batch*time*freq-block axis —
+  then folded from the (G+2)*Cin x G*Cout halo layout back to (3,3,Cin,Cout)
+  with offset-eye contractions (the adjoint of `build_wbig`).
+
+BatchNorm (batch statistics), ReLU and the residual adds intentionally stay
+plain XLA in the flat packed layout (`models/music_encoder.py` packed path):
+on (B, T, F*C) arrays every lane is live, so XLA's own fusions are already
+at the HBM roofline there; only the ops that need halos (conv) or windows
+(max-pool, `pallas_pool.max_pool_train`) need kernels.
+
+Matmul precision follows the activation dtype (bf16 activations -> bf16 MXU,
+f32 -> f32), so the f32 path is gradient-parity-testable against
+`lax.conv_general_dilated` to float tolerance (`tests/test_conv_train.py`).
+Reference semantics: `Contrastive_Stage/models/MusicEncoder.py:5-27`
+(reflect-padded Conv2d(3,3) inside Conv2dResBlock).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .pallas_conv import _halo_assemble, fused_conv_block
+
+F32 = jnp.float32
+
+
+def _conv_fwd_impl(x_flat: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, F*Cin) flat packed -> (B, T, F*Cout); reflect-padded 3x3 conv
+    (no bias/affine/relu — those live in XLA where lanes are already full)."""
+    b, t, fc = x_flat.shape
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    f = fc // cin
+    y = fused_conv_block(
+        x_flat.reshape(b, t, f, cin),
+        kernel,
+        jnp.ones((cout,), F32),
+        jnp.zeros((cout,), F32),
+        relu=False,
+        mxu_dtype=x_flat.dtype,
+    )
+    return y.reshape(b, t, f * cout)
+
+
+@jax.custom_vjp
+def conv3x3_train(x_flat: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    return _conv_fwd_impl(x_flat, kernel)
+
+
+def _conv_fwd(x_flat, kernel):
+    return _conv_fwd_impl(x_flat, kernel), (x_flat, kernel)
+
+
+def _freq_conv_row(row: jnp.ndarray, w3: jnp.ndarray) -> jnp.ndarray:
+    """(B, F, Cout) x (3, Cout, Cin) -> (B, F, Cin): 3-tap zero-padded conv
+    along frequency (one extended border row of the transposed conv)."""
+    b, f, _ = row.shape
+    rp = jnp.pad(row, ((0, 0), (1, 1), (0, 0)))
+    return sum(
+        jnp.einsum("bfc,cd->bfd", rp[:, k : k + f], w3[k],
+                   preferred_element_type=F32)
+        for k in range(3)
+    )
+
+
+def _time_conv_col(col: jnp.ndarray, w3: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, Cout) x (3, Cout, Cin) -> (B, T, Cin): 3-tap zero-padded conv
+    along time (one extended border column of the transposed conv)."""
+    b, t, _ = col.shape
+    cp = jnp.pad(col, ((0, 0), (1, 1), (0, 0)))
+    return sum(
+        jnp.einsum("btc,cd->btd", cp[:, k : k + t], w3[k],
+                   preferred_element_type=F32)
+        for k in range(3)
+    )
+
+
+def _conv_bwd(res, dy_flat):
+    x_flat, kernel = res
+    b, t, fc = x_flat.shape
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    f = fc // cin
+    dtype = x_flat.dtype
+
+    # ---- d(input): transposed conv.  Writing the forward on the reflect-
+    # extended grid xe (indices -1..T x -1..F, xe[-1]=x[1], xe[T]=x[T-2], same
+    # in freq), the adjoint is dxe[u,v] = sum_{a,b} dy[u+a-1, v+b-1] *
+    # Wflip[a,b] with dy zero outside its range and Wflip = W[::-1, ::-1]
+    # transposed in the channel axes; then reflect's adjoint folds the four
+    # extended borders back: dx[1] += dxe[-1], dx[T-2] += dxe[T] (time),
+    # dx[:,1] += dxe[:,-1], dx[:,F-2] += dxe[:,F] (freq), corners composing.
+    wflip = kernel[::-1, ::-1].transpose(0, 1, 3, 2)  # (3,3,Cout,Cin)
+    dy4 = dy_flat.reshape(b, t, f, cout)
+    dx = _conv_fwd_zero_edge(dy_flat, wflip, f, cout, cin)
+
+    # extended border rows u=-1 / u=T (only a=2 / a=0 reach into dy)
+    row_m1 = _freq_conv_row(dy4[:, 0], wflip[2]).reshape(b, f * cin)
+    row_t = _freq_conv_row(dy4[:, t - 1], wflip[0]).reshape(b, f * cin)
+    # extended border cols v=-1 / v=F (only b=2 / b=0 reach into dy)
+    col_m1 = _time_conv_col(dy4[:, :, 0], wflip[:, 2])
+    col_f = _time_conv_col(dy4[:, :, f - 1], wflip[:, 0])
+    # corners: single-tap products
+    c_mm = jnp.einsum("bc,cd->bd", dy4[:, 0, 0], wflip[2, 2])
+    c_mf = jnp.einsum("bc,cd->bd", dy4[:, 0, f - 1], wflip[2, 0])
+    c_tm = jnp.einsum("bc,cd->bd", dy4[:, t - 1, 0], wflip[0, 2])
+    c_tf = jnp.einsum("bc,cd->bd", dy4[:, t - 1, f - 1], wflip[0, 0])
+
+    dx = dx.astype(F32) if dtype != F32 else dx
+    dx = dx.at[:, 1, :].add(row_m1)
+    dx = dx.at[:, t - 2, :].add(row_t)
+    dx = dx.at[:, :, cin : 2 * cin].add(col_m1)
+    dx = dx.at[:, :, (f - 2) * cin : (f - 1) * cin].add(col_f)
+    dx = dx.at[:, 1, cin : 2 * cin].add(c_mm)
+    dx = dx.at[:, 1, (f - 2) * cin : (f - 1) * cin].add(c_mf)
+    dx = dx.at[:, t - 2, cin : 2 * cin].add(c_tm)
+    dx = dx.at[:, t - 2, (f - 2) * cin : (f - 1) * cin].add(c_tf)
+    dx = dx.astype(dtype)
+
+    # ---- d(kernel): three packed lane-full matmuls + offset-eye fold.
+    g = max(128 // cin, 1)
+    fbn = f // g
+    xpad = jnp.concatenate(  # reflect-extended time rows (matches forward)
+        [x_flat[:, 1:2], x_flat, x_flat[:, t - 2 : t - 1]], axis=1
+    )
+    z = _halo_assemble(
+        xpad.reshape(b * (t + 2), fbn, g * cin),
+        fb=fbn, g=g, cin=cin, edge="reflect", mxu_dtype=dtype,
+    ).reshape(b, t + 2, fbn, (g + 2) * cin)
+    dyp = dy_flat.reshape(b, t, fbn, g * cout)
+    dwbig = jnp.stack([
+        jnp.einsum("btfk,btfn->kn", z[:, dt : dt + t], dyp,
+                   preferred_element_type=F32)
+        for dt in range(3)
+    ])  # (3, (G+2)*Cin, G*Cout)
+    r = dwbig.reshape(3, g + 2, cin, g, cout)
+    # adjoint of build_wbig: dW[dt,dg,ci,co] = sum_gg dWbig[dt,(gg+dg)Cin+ci,
+    # gg*Cout+co] — an offset-eye contraction per dg.
+    eye = jnp.stack(
+        [jnp.eye(g + 2, g, k=-dg, dtype=F32) for dg in range(3)]
+    )  # (3, G+2, G)
+    dw = jnp.einsum("taibj,dab->tdij", r, eye).astype(kernel.dtype)
+    return dx, dw
+
+
+def _conv_fwd_zero_edge(dy_flat, wflip, f, cout, cin):
+    """Zero-padded 3x3 conv of the cotangent with the flipped kernel — the
+    interior of the transposed conv, on the same Pallas kernel."""
+    b, t, _ = dy_flat.shape
+    y = fused_conv_block(
+        dy_flat.reshape(b, t, f, cout),
+        wflip,
+        jnp.ones((cin,), F32),
+        jnp.zeros((cin,), F32),
+        relu=False,
+        edge="zero",
+        mxu_dtype=dy_flat.dtype,
+    )
+    return y.reshape(b, t, f * cin)
+
+
+conv3x3_train.defvjp(_conv_fwd, _conv_bwd)

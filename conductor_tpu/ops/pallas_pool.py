@@ -107,6 +107,22 @@ def pool_geometry(t: int, window, strides, padding, tile: int):
     return t_out, p, rows_blk
 
 
+def _pool_stack(x2, nt, p, st, rows_blk, pt0, neg):
+    """(B, T, FB, G*C) -> (B, nt, rows_blk, FB, G*C) overlapping input tiles,
+    -inf padded at the clip edges (shared by forward and backward — the
+    backward differentiates this exact function to fold tile overlaps)."""
+    b, t = x2.shape[:2]
+    front = pt0
+    back = (nt - 1) * p * st + rows_blk - (t + front)
+    xp = jnp.pad(
+        x2, ((0, 0), (front, max(back, 0)), (0, 0), (0, 0)),
+        constant_values=neg,
+    )
+    return jnp.stack(
+        [xp[:, j * p * st : j * p * st + rows_blk] for j in range(nt)], axis=1
+    )
+
+
 def fused_max_pool(
     x: jnp.ndarray,          # (B, T, F, C)
     window: tuple[int, int],
@@ -132,15 +148,7 @@ def fused_max_pool(
 
     neg = float(jnp.finfo(x.dtype).min)
     x2 = x.reshape(b, t, fb, g * c)
-    front = pt0
-    back = (nt - 1) * p * st + rows_blk - (t + front)
-    xp = jnp.pad(
-        x2, ((0, 0), (front, max(back, 0)), (0, 0), (0, 0)),
-        constant_values=neg,
-    )
-    xtiles = jnp.stack(
-        [xp[:, j * p * st : j * p * st + rows_blk] for j in range(nt)], axis=1
-    )
+    xtiles = _pool_stack(x2, nt, p, st, rows_blk, pt0, neg)
 
     out = pl.pallas_call(
         functools.partial(
@@ -161,3 +169,204 @@ def fused_max_pool(
         interpret=jax.default_backend() != "tpu",
     )(xtiles)
     return out.reshape(b, t_out, f // 2, c)
+
+
+# --------------------------------------------------------------------------
+# Trainable pool: custom VJP with an in-register first-max backward.
+#
+# XLA's maxpool gradient (`select_and_scatter`) was 31 % of the M2SNet step
+# at the encoder's lane-padded NHWC shapes (NOTES.md "M2SNet encoder
+# profile"; a mask-based XLA rewrite measured 2.2x SLOWER and was deleted).
+# This kernel recomputes the window maxima from the same packed input tiles
+# as the forward and routes each output cotangent to the FIRST window
+# position attaining the max (window-scan order: freq taps ascending, then
+# time taps ascending) — one winner per window, so the gradient is
+# conservative (sum dx == sum dy) even on post-ReLU plateaus where
+# compare-add schemes would multiply-count ties.  Tie ORDER differs from
+# XLA's packed select-and-gather tiebreak; parity vs `nn.max_pool` gradients
+# is pinned on untied inputs (`tests/test_conv_train.py`).
+
+
+def _add_cols(buf, lo, v):
+    """buf[..., lo:lo+w] += v as slice+concat (functional .at[].add lowers to
+    scatter-add, which Mosaic does not implement inside kernels)."""
+    hi = lo + v.shape[-1]
+    parts = []
+    if lo:
+        parts.append(buf[..., :lo])
+    parts.append(buf[..., lo:hi] + v)
+    if hi < buf.shape[-1]:
+        parts.append(buf[..., hi:])
+    return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+
+
+def _add_rows(buf, lo, v):
+    """buf[lo:lo+r] += v as slice+concat (axis 0), same Mosaic constraint."""
+    hi = lo + v.shape[0]
+    parts = []
+    if lo:
+        parts.append(buf[:lo])
+    parts.append(buf[lo:hi] + v)
+    if hi < buf.shape[0]:
+        parts.append(buf[hi:])
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def _pool_bwd_kernel(
+    x_ref, dy_ref, o_ref, *, p, fb, g, c, wt, st, wf, pf, neg,
+):
+    # recompute in f32: bf16 -> f32 casts are exact, so the winner detection
+    # matches the bf16 forward bit-for-bit — and v5e's vector compare does
+    # not support bf16 equality ("Target does not support this comparison")
+    xb = x_ref[0, 0].astype(jnp.float32)    # (rows_blk, FB, G*C)
+    tpool = _time_pool(xb, p, wt, st)       # (P, FB, G*C)
+    blk = jax.lax.broadcasted_iota(jnp.int32, (p, fb, pf * c), 1)
+    prev_cols = jnp.where(
+        blk == 0, neg, jnp.roll(tpool, 1, axis=1)[..., (g - pf) * c :]
+    )
+    next_cols = jnp.where(
+        blk == fb - 1, neg, jnp.roll(tpool, -1, axis=1)[..., : pf * c]
+    )
+
+    # ---- freq routing: d wrt the time-pooled values
+    dt_main = jnp.zeros((p, fb, g * c), jnp.float32)
+    dprev = jnp.zeros((p, fb, pf * c), jnp.float32)
+    dnext = jnp.zeros((p, fb, pf * c), jnp.float32)
+    for k in range(g // 2):
+        taps = []
+        for df in range(wf):
+            q = 2 * k - pf + df
+            if q < 0:
+                taps.append(
+                    ("prev", q + pf,
+                     prev_cols[..., (q + pf) * c : (q + pf + 1) * c])
+                )
+            elif q >= g:
+                taps.append(
+                    ("next", q - g,
+                     next_cols[..., (q - g) * c : (q - g + 1) * c])
+                )
+            else:
+                taps.append(("main", q, tpool[..., q * c : (q + 1) * c]))
+        yk = functools.reduce(jnp.maximum, [v for _, _, v in taps])
+        dyk = dy_ref[0, :, :, k * c : (k + 1) * c].astype(jnp.float32)
+        seen = jnp.zeros(yk.shape, jnp.bool_)
+        for kind, q, v in taps:
+            m = (v == yk) & ~seen
+            seen = seen | (v == yk)
+            contrib = jnp.where(m, dyk, 0.0)
+            if kind == "main":
+                dt_main = _add_cols(dt_main, q * c, contrib)
+            elif kind == "prev":
+                dprev = _add_cols(dprev, q * c, contrib)
+            else:
+                dnext = _add_cols(dnext, q * c, contrib)
+    # cross-block fold: block i's prev-taps live in block i-1's last pf cols,
+    # its next-taps in block i+1's first pf cols.  Wrap contributions are
+    # exactly zero (those taps were -inf masked and can never win).
+    dt = _add_cols(dt_main, (g - pf) * c, jnp.roll(dprev, -1, axis=1))
+    dt = _add_cols(dt, 0, jnp.roll(dnext, 1, axis=1))
+
+    # ---- time routing: d wrt the input rows
+    rows_blk = xb.shape[0]
+    if st == 1:
+        dx = jnp.zeros((rows_blk, fb, g * c), jnp.float32)
+        seen = jnp.zeros((p, fb, g * c), jnp.bool_)
+        for k in range(wt):
+            tap = xb[k : k + p]
+            m = (tap == tpool) & ~seen
+            seen = seen | (tap == tpool)
+            dx = _add_rows(dx, k, jnp.where(m, dt, 0.0))
+    else:
+        z3 = xb.reshape(p + 2, 3, fb, g * c)
+        planes = [jnp.zeros((p + 2, fb, g * c), jnp.float32) for _ in range(3)]
+        seen = jnp.zeros((p, fb, g * c), jnp.bool_)
+        for k in range(wt):
+            a, s = divmod(k, 3)
+            tap = z3[a : a + p, s]
+            m = (tap == tpool) & ~seen
+            seen = seen | (tap == tpool)
+            planes[s] = _add_rows(planes[s], a, jnp.where(m, dt, 0.0))
+        dx = jnp.stack(planes, axis=1).reshape(rows_blk, fb, g * c)
+    o_ref[0, 0] = dx.astype(o_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pool_op(f, c, window, strides, padding, tile):
+    wt, wf = window
+    st, _ = strides
+    (pt0, _), (pf0, _) = padding
+    g = 128 // c
+    fb = f // g
+
+    @jax.custom_vjp
+    def op(x_flat):
+        b, t, _ = x_flat.shape
+        return fused_max_pool(
+            x_flat.reshape(b, t, f, c), window, strides, padding, tile=tile
+        ).reshape(b, -1, (f // 2) * c)
+
+    def fwd(x_flat):
+        return op(x_flat), x_flat
+
+    def bwd(x_flat, dy_flat):
+        b, t, _ = x_flat.shape
+        # the backward picks its own, smaller tiling (the f32 recompute +
+        # routing temps are ~4x the forward's working set; 456-row stride-3
+        # tiles blow the 16M scoped-vmem default)
+        t_out, p, rows_blk = pool_geometry(
+            t, window, strides, padding, min(tile, 75 if st == 1 else 50)
+        )
+        nt = t_out // p
+        neg = float(jnp.finfo(x_flat.dtype).min)
+
+        def stack_fn(xf):
+            return _pool_stack(
+                xf.reshape(b, t, fb, g * c), nt, p, st, rows_blk, pt0, neg
+            )
+
+        xtiles, unstack = jax.vjp(stack_fn, x_flat)
+        dy4 = dy_flat.reshape(b, t_out, fb, (g // 2) * c)
+        dxtiles = pl.pallas_call(
+            functools.partial(
+                _pool_bwd_kernel, p=p, fb=fb, g=g, c=c,
+                wt=wt, st=st, wf=wf, pf=pf0, neg=neg,
+            ),
+            grid=(b, nt),
+            in_specs=[
+                pl.BlockSpec((1, 1, rows_blk, fb, g * c),
+                             lambda i, j: (i, j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p, fb, (g // 2) * c),
+                             lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, rows_blk, fb, g * c), lambda i, j: (i, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, nt, rows_blk, fb, g * c), dy_flat.dtype
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
+            interpret=jax.default_backend() != "tpu",
+        )(xtiles, dy4)
+        (dx,) = unstack(dxtiles.astype(xtiles.dtype))
+        return (dx.astype(x_flat.dtype),)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def max_pool_train(
+    x_flat: jnp.ndarray, f: int, c: int, window, strides, padding,
+    *, tile: int = 150,
+) -> jnp.ndarray:
+    """Trainable `fused_max_pool` on flat packed (B, T, F*C) activations:
+    Pallas forward + first-max Pallas backward (see `_pool_bwd_kernel`)."""
+    return _make_pool_op(
+        f, c, tuple(window), tuple(strides),
+        tuple(tuple(q) for q in padding), tile,
+    )(x_flat)

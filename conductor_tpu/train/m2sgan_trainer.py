@@ -62,6 +62,7 @@ class M2SGANTrainer:
         sync_encoder_dtype: str = "float32",  # frozen SyncLoss ST-GCN dtype
         sync_encoder_impl: str = "flax",   # "flax" | "pallas" (fused kernels)
         train_music_encoder: bool = False,
+        music_conv_impl: str = "lax",  # "lax" | "pallas_train" (packed kernels)
     ):
         self.sample_length = sample_length
         self.critic_iters = critic_iters
@@ -78,9 +79,13 @@ class M2SGANTrainer:
         if train_music_encoder and music_encoder_impl != "flax":
             raise ValueError(
                 "music_encoder_impl='pallas' is an inference-only fast path "
-                "for the FROZEN encoder; use 'flax' with train_music_encoder"
+                "for the FROZEN encoder; with train_music_encoder use "
+                "music_conv_impl='pallas_train' (trainable packed kernels)"
             )
-        self.G = Generator(freeze_music_encoder=not train_music_encoder)
+        self.G = Generator(
+            freeze_music_encoder=not train_music_encoder,
+            music_conv_impl=music_conv_impl,
+        )
         self.D = Discriminator1DCNN()
         # frozen perceptual net: like the stage-2 feature loss, its matmuls
         # sit on the generator-step critical path, so bf16 is offered as an

@@ -147,28 +147,31 @@ def bench_stage2_train(results: list[dict]) -> None:
 def bench_m2snet(results: list[dict]) -> None:
     from conductor_tpu.train.m2snet_trainer import M2SNetTrainer
 
-    trainer = M2SNetTrainer(
-        sample_length=30, clip_length=10,
-        compute_dtype="bfloat16", share_encodes=True,
-    )
     rng = jax.random.PRNGKey(0)
-    state = trainer.init_state(rng)
     B = 10
     mel = jax.random.uniform(rng, (B, 30 * 90, 128))
     motion = jax.random.uniform(rng, (B, 30 * 30, 13, 2))
-    holder = {"state": state}
 
-    def step():
-        holder["state"], metrics = trainer.train_step(
-            holder["state"], (mel, motion), rng, "hard"
+    for impl, tag in (("lax", ""), ("pallas_train", "_packed")):
+        trainer = M2SNetTrainer(
+            sample_length=30, clip_length=10,
+            compute_dtype="bfloat16", share_encodes=True,
+            music_conv_impl=impl,
         )
-        return metrics["loss"]
+        state = trainer.init_state(rng)
+        holder = {"state": state}
 
-    sec = timed_steps(step, k=10)
-    results.append({
-        "surface": "m2snet_step_b10_hard_bf16_shared",
-        "ms_per_step": round(sec * 1e3, 2),
-    })
+        def step():
+            holder["state"], metrics = trainer.train_step(
+                holder["state"], (mel, motion), rng, "hard"
+            )
+            return metrics["loss"]
+
+        sec = timed_steps(step, k=10)
+        results.append({
+            "surface": f"m2snet_step_b10_hard_bf16_shared{tag}",
+            "ms_per_step": round(sec * 1e3, 2),
+        })
 
 
 def bench_m2sgan(results: list[dict]) -> None:

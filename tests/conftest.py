@@ -48,6 +48,7 @@ _SLOW_MODULES = {
     "test_pallas_layer_bwd",
     "test_pallas_attention",
     "test_pallas_conv",
+    "test_conv_train",       # custom-vjp conv/pool kernels (interpret mode)
     "test_pallas_stgcn",
     "test_pallas_pool",
     "test_cli",              # full CLI train/eval/visualize round trips
