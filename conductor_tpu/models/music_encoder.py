@@ -64,9 +64,11 @@ class _PackedConv1x1(nn.Module):
             "cd,vw->vcwd", kernel[0, 0].astype(self.dtype),
             jnp.eye(g, dtype=self.dtype),
         ).reshape(g * cin, g * self.features)
-        xb = x_flat.astype(self.dtype).reshape(b, t, fb, g * cin)
-        y = jnp.einsum("btfk,kn->btfn", xb, w)
-        y = y.reshape(b, t, self.freq * self.features)
+        # one flat 2D matmul (collapsed (B*T*FB, G*Cin)): a 4D einsum here
+        # made XLA materialize the output at a transposed layout (~2.4 ms of
+        # copies on the full-res stage)
+        x2 = x_flat.astype(self.dtype).reshape(b * t * fb, g * cin)
+        y = (x2 @ w).reshape(b, t, self.freq * self.features)
         return y + jnp.tile(bias, self.freq).astype(self.dtype)
 
 

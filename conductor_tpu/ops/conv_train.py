@@ -110,20 +110,27 @@ def _conv_bwd(res, dy_flat):
     # extended borders back: dx[1] += dxe[-1], dx[T-2] += dxe[T] (time),
     # dx[:,1] += dxe[:,-1], dx[:,F-2] += dxe[:,F] (freq), corners composing.
     wflip = kernel[::-1, ::-1].transpose(0, 1, 3, 2)  # (3,3,Cout,Cin)
-    dy4 = dy_flat.reshape(b, t, f, cout)
     dx = _conv_fwd_zero_edge(dy_flat, wflip, f, cout, cin)
 
+    # border slices taken from the FLAT layout (rows and the first/last
+    # freq columns are contiguous there) — a (B,T,F,C) view would make XLA
+    # materialize the whole cotangent in a transposed layout just to read
+    # one strided column (measured ~1.5 ms/conv of pure copies)
+    row0 = dy_flat[:, 0].reshape(b, f, cout)
+    rowl = dy_flat[:, t - 1].reshape(b, f, cout)
+    col0 = dy_flat[:, :, :cout]
+    coll = dy_flat[:, :, (f - 1) * cout :]
     # extended border rows u=-1 / u=T (only a=2 / a=0 reach into dy)
-    row_m1 = _freq_conv_row(dy4[:, 0], wflip[2]).reshape(b, f * cin)
-    row_t = _freq_conv_row(dy4[:, t - 1], wflip[0]).reshape(b, f * cin)
+    row_m1 = _freq_conv_row(row0, wflip[2]).reshape(b, f * cin)
+    row_t = _freq_conv_row(rowl, wflip[0]).reshape(b, f * cin)
     # extended border cols v=-1 / v=F (only b=2 / b=0 reach into dy)
-    col_m1 = _time_conv_col(dy4[:, :, 0], wflip[:, 2])
-    col_f = _time_conv_col(dy4[:, :, f - 1], wflip[:, 0])
+    col_m1 = _time_conv_col(col0, wflip[:, 2])
+    col_f = _time_conv_col(coll, wflip[:, 0])
     # corners: single-tap products
-    c_mm = jnp.einsum("bc,cd->bd", dy4[:, 0, 0], wflip[2, 2])
-    c_mf = jnp.einsum("bc,cd->bd", dy4[:, 0, f - 1], wflip[2, 0])
-    c_tm = jnp.einsum("bc,cd->bd", dy4[:, t - 1, 0], wflip[0, 2])
-    c_tf = jnp.einsum("bc,cd->bd", dy4[:, t - 1, f - 1], wflip[0, 0])
+    c_mm = jnp.einsum("bc,cd->bd", row0[:, 0], wflip[2, 2])
+    c_mf = jnp.einsum("bc,cd->bd", row0[:, f - 1], wflip[2, 0])
+    c_tm = jnp.einsum("bc,cd->bd", rowl[:, 0], wflip[0, 2])
+    c_tf = jnp.einsum("bc,cd->bd", rowl[:, f - 1], wflip[0, 0])
 
     dx = dx.astype(F32) if dtype != F32 else dx
     dx = dx.at[:, 1, :].add(row_m1)
