@@ -46,6 +46,10 @@ from jax.experimental.pallas import tpu as pltpu
 F32 = jnp.float32
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def build_wbig(kernel: jnp.ndarray, g: int) -> jnp.ndarray:
     """Conv kernel (3, 3, Cin, Cout) -> Wbig (3, (G+2)*Cin, G*Cout) with
     Wbig[dt, (gg+dg)*Cin+ci, gg*Cout+co] = kernel[dt, dg, ci, co]."""
@@ -121,10 +125,17 @@ def _conv_kernel(
     xt_ref, wbig_ref, scale_ref, bias_ref, resw_ref, rs_ref, rb_ref, o_ref,
     *, tile: int, fb: int, g: int, cin: int, cout: int,
     res_mode: int, mxu_dtype, pool=None, t_valid: int = 0,
-    relu: bool = True, edge: str = "reflect",
+    relu: bool = True, edge: str = "reflect", fb_squeezed: bool = False,
 ):
     # --- F halo: (T+2, FB, G*Cin) tile (T halo pre-stacked by the caller)
-    xb = xt_ref[0, 0]  # (tile+2, fb, g*cin)
+    if fb_squeezed:
+        # FB == 1 carried as a real array axis gives the operands a (1, 128)
+        # trailing tile -> T(2,128) layout with half the sublanes padding
+        # (and a squeeze-as-reduce on the output); the caller drops the axis
+        # and the kernel re-expands it in-register for free.
+        xb = xt_ref[0, 0].reshape(xt_ref.shape[2], 1, g * cin)
+    else:
+        xb = xt_ref[0, 0]  # (tile+2, fb, g*cin)
     z = _halo_assemble(xb, fb=fb, g=g, cin=cin, edge=edge, mxu_dtype=mxu_dtype)
 
     # --- the three time-shift matmuls
@@ -154,7 +165,10 @@ def _conv_kernel(
         y = y + r * rs_ref[0].astype(F32) + rb_ref[0].astype(F32)
 
     if pool is None:
-        o_ref[0] = y.reshape(tile, fb, n).astype(o_ref.dtype)
+        if fb_squeezed:
+            o_ref[0] = y.reshape(tile, n).astype(o_ref.dtype)
+        else:
+            o_ref[0] = y.reshape(tile, fb, n).astype(o_ref.dtype)
         return
 
     # --- fused max-pool epilogue (the encoder pools right after the last
@@ -254,7 +268,7 @@ def fused_conv_block(
         ).reshape(b, nt, rows_blk + 2, fbn, g * cin)
         out_block = (1, p_out, fbn, (g // 2) * cout)
         out_shape = (b, t_out, fbn, (g // 2) * cout)
-    else:
+    elif fbn > 1:
         nt = t // tile
         xtiles = stack_time_tiles(x2, tile, nt, edge=edge).reshape(
             b, nt, tile + 2, fbn, g * cin
@@ -262,16 +276,47 @@ def fused_conv_block(
         out_block = (1, tile, fbn, n)
         out_shape = (b, t, fbn, n)
 
+    fb_squeezed = fbn == 1 and pool is None
+    if fb_squeezed:
+        # the 3D output block's second-minor dim is the time tile, which
+        # Mosaic requires to be 8-divisible (or full): re-tile at 128 rows
+        # over time padded to a 128 multiple; pad-row outputs are cropped.
+        tile = 128
+        t_pad = _round_up(t, tile)
+        nt = t_pad // tile
+        if edge == "reflect":
+            xh = jnp.concatenate([x2[:, 1:2], x2, x2[:, t - 2 : t - 1]], axis=1)
+        else:
+            zrow = jnp.zeros_like(x2[:, :1])
+            xh = jnp.concatenate([zrow, x2, zrow], axis=1)
+        xh = jnp.pad(xh, ((0, 0), (0, t_pad - t), (0, 0)))
+        xtiles = jnp.stack(
+            [xh[:, j * tile : j * tile + tile + 2] for j in range(nt)], axis=1
+        )
+        out_block = (1, tile, n)
+        out_shape = (b, t_pad, n)
+        x_spec = pl.BlockSpec((1, 1, tile + 2, g * cin),
+                              lambda i, j: (i, j, 0, 0),
+                              memory_space=pltpu.VMEM)
+        o_spec = pl.BlockSpec((1, tile, n), lambda i, j: (i, j, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        x_spec = pl.BlockSpec((1, 1, xtiles.shape[2], fbn, g * cin),
+                              lambda i, j: (i, j, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        o_spec = pl.BlockSpec(out_block, lambda i, j: (i, j, 0, 0),
+                              memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
         functools.partial(
             _conv_kernel, tile=tile, fb=fbn, g=g, cin=cin,
             cout=cout, res_mode=res_mode, mxu_dtype=mxu_dtype,
             pool=pool_arg, t_valid=t, relu=relu, edge=edge,
+            fb_squeezed=fb_squeezed,
         ),
         grid=(b, nt),
         in_specs=[
-            pl.BlockSpec((1, 1, xtiles.shape[2], fbn, g * cin),
-                         lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM),
+            x_spec,
             pl.BlockSpec((3, (g + 2) * cin, n), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -281,12 +326,12 @@ def fused_conv_block(
             pl.BlockSpec((1, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            out_block, lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
         interpret=jax.default_backend() != "tpu",
     )(xtiles, wbig, scale_l, bias_l, resw, rs_l, rb_l)
     if pool is not None:
         return out.reshape(b, out_shape[1], f // 2, cout)
+    if fb_squeezed:
+        out = out[:, :t]
     return out.reshape(b, t, f, cout)

@@ -228,10 +228,12 @@ def _pool_bwd_kernel(
         blk == fb - 1, neg, jnp.roll(tpool, -1, axis=1)[..., : pf * c]
     )
 
-    # ---- freq routing: d wrt the time-pooled values
-    dt_main = jnp.zeros((p, fb, g * c), jnp.float32)
-    dprev = jnp.zeros((p, fb, pf * c), jnp.float32)
-    dnext = jnp.zeros((p, fb, pf * c), jnp.float32)
+    # ---- freq routing: d wrt the time-pooled values.  Per-tap winner masks
+    # are collected into a (kind, q) -> contribution map and the G input
+    # columns are assembled with ONE concat — per-tap read-modify-write of
+    # the full accumulator (the first version) rebuilt a full-width buffer
+    # 20x per block at C-lane granularity.
+    contrib: dict = {}
     for k in range(g // 2):
         taps = []
         for df in range(wf):
@@ -254,18 +256,23 @@ def _pool_bwd_kernel(
         for kind, q, v in taps:
             m = (v == yk) & ~seen
             seen = seen | (v == yk)
-            contrib = jnp.where(m, dyk, 0.0)
-            if kind == "main":
-                dt_main = _add_cols(dt_main, q * c, contrib)
-            elif kind == "prev":
-                dprev = _add_cols(dprev, q * c, contrib)
-            else:
-                dnext = _add_cols(dnext, q * c, contrib)
+            piece = jnp.where(m, dyk, 0.0)
+            key = (kind, q)
+            contrib[key] = contrib[key] + piece if key in contrib else piece
     # cross-block fold: block i's prev-taps live in block i-1's last pf cols,
     # its next-taps in block i+1's first pf cols.  Wrap contributions are
     # exactly zero (those taps were -inf masked and can never win).
-    dt = _add_cols(dt_main, (g - pf) * c, jnp.roll(dprev, -1, axis=1))
-    dt = _add_cols(dt, 0, jnp.roll(dnext, 1, axis=1))
+    cols = []
+    for q in range(g):
+        col = contrib.get(("main", q))
+        if col is None:
+            col = jnp.zeros((p, fb, c), jnp.float32)
+        if q >= g - pf and ("prev", q - (g - pf)) in contrib:
+            col = col + jnp.roll(contrib[("prev", q - (g - pf))], -1, axis=1)
+        if q < pf and ("next", q) in contrib:
+            col = col + jnp.roll(contrib[("next", q)], 1, axis=1)
+        cols.append(col)
+    dt = jnp.concatenate(cols, axis=-1)
 
     # ---- time routing: d wrt the input rows
     rows_blk = xb.shape[0]

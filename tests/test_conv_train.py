@@ -231,6 +231,34 @@ class TestPackedEncoder:
         assert float(diff.max()) < 0.15 * scale
 
 
+class TestMeshParity:
+    def test_packed_encoder_sharded_matches_single(self, rng):
+        """The packed Pallas encoder under data-parallel GSPMD sharding on
+        the virtual 8-device mesh reproduces the single-device forward —
+        pallas_call partitions along the batch grid dimension.  (The full
+        trainer step was validated the same way off-CI: one M2SNet
+        train_step on a 2-device CPU mesh matches single-device loss
+        exactly; interpret-mode grad makes that too slow for the suite.)"""
+        from conductor_tpu.parallel import make_mesh, replicate, shard_batch
+
+        assert len(jax.devices()) == 8
+        enc = MusicEncoder(conv_impl="pallas_train")
+        mel = jax.random.normal(jax.random.PRNGKey(5), (8, 18, 128))
+        variables = enc.init(rng, mel)
+        want = enc.apply(variables, mel, False)
+
+        mesh = make_mesh(data=8)
+        with mesh:
+            v_rep = replicate(variables, mesh)
+            (mel_s,) = shard_batch((mel,), mesh)
+            got = jax.jit(
+                lambda v, m: enc.apply(v, m, False)
+            )(v_rep, mel_s)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5
+        )
+
+
 class TestTrainerStepParity:
     def test_m2snet_step_parity(self, rng):
         """One jitted M2SNetTrainer step with music_conv_impl='pallas_train'
