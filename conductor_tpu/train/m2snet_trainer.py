@@ -289,17 +289,25 @@ class M2SNetTrainer:
         """
         momentum = 0.99  # flax nn.BatchNorm / _PackedBatchNorm default
         old = state.batch_stats
+        if not hasattr(self, "_recal_fwd"):
+            # one jitted train-mode forward returning the recovered batch
+            # statistics (un-jitted apply dispatches op-by-op — pathological
+            # over a remote-TPU link)
+            def _fwd(params, stats, mel, mot):
+                _, mut = self.model.apply(
+                    {"params": params, "batch_stats": stats}, mel, mot, True,
+                    mutable=["batch_stats"],
+                )
+                return jax.tree_util.tree_map(
+                    lambda new, o: (new - momentum * o) / (1.0 - momentum),
+                    mut["batch_stats"], stats,
+                )
+            self._recal_fwd = jax.jit(_fwd)
         recovered = []
         for batch in batches:
             music, motion = batch
-            _, mut = self.model.apply(
-                {"params": state.params, "batch_stats": old},
-                jnp.asarray(music), jnp.asarray(motion), True,
-                mutable=["batch_stats"],
-            )
-            recovered.append(jax.tree_util.tree_map(
-                lambda new, o: (new - momentum * o) / (1.0 - momentum),
-                mut["batch_stats"], old,
+            recovered.append(self._recal_fwd(
+                state.params, old, jnp.asarray(music), jnp.asarray(motion)
             ))
 
         def agg(nodes):
