@@ -143,7 +143,11 @@ def make_synthetic_dataset(
     gets a beat frequency; the motion oscillates at it and the mel carries
     energy bursts at the beats plus a speed-following envelope — so sync
     learning, conditioning, and beat metrics have real signal (used by
-    scripts/run_e2e_demo.py)."""
+    scripts/run_e2e_demo.py).  The music->motion phase relationship is
+    CONSISTENT across clips (deterministic per-joint offsets + small random
+    jitter), like real conducting where the gesture hits the beat the same
+    way in every performance — otherwise sync detection is clip-specific
+    memorization and can never generalize to held-out clips."""
     rng = np.random.default_rng(seed)
     s = spec
     for i in range(num_clips):
@@ -154,9 +158,14 @@ def make_synthetic_dataset(
         t30 = np.arange(T30)[:, None, None] / s.motion_hz
         if correlated:
             beat_hz = 0.8 + 1.5 * rng.random()
-            phase = rng.random((1, s.n_joints, s.joint_dim)) * 2 * np.pi
+            # phase-locked to the beat: deterministic per-joint offsets
+            # (identical in every clip) + small per-clip jitter, so held-out
+            # clips carry the SAME beat->gesture phase relationship
+            joint_phase = np.linspace(0.0, np.pi / 2, s.n_joints)[None, :, None]
+            phase = joint_phase + 0.25 * (rng.random((1, s.n_joints, s.joint_dim)) - 0.5)
+            amp = 0.15 + 0.1 * rng.random((1, s.n_joints, s.joint_dim))
             # every joint moves at the clip's beat rate (+ a weak harmonic)
-            motion = 0.5 + 0.2 * np.sin(2 * np.pi * beat_hz * t30 + phase)
+            motion = 0.5 + amp * np.sin(2 * np.pi * beat_hz * t30 + phase)
             motion += 0.05 * np.sin(2 * np.pi * 2 * beat_hz * t30 + 2 * phase)
             t90 = np.arange(T90) / s.mel_hz
             pulse = np.maximum(0.0, np.sin(2 * np.pi * beat_hz * t90)) ** 8

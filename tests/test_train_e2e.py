@@ -201,3 +201,73 @@ class TestMultiChip:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+class TestCorrelatedSyntheticData:
+    """The correlated synthetic stand-in must carry a GENERALIZABLE
+    music->motion relationship: the beat->gesture phase offset has to be
+    consistent across clips (it is deterministic per joint + small jitter),
+    otherwise sync detection on it is clip-specific memorization and
+    held-out eval-mode accuracy can never rise above chance (the round-2
+    e2e artifact showed exactly that failure)."""
+
+    @staticmethod
+    def _clip_phases(folder):
+        mel = np.load(f"{folder}/mel.npy")
+        motion = np.load(f"{folder}/motion.npy")
+        T90, T30 = mel.shape[0], motion.shape[0]
+        # beat rate from the mel pulse train (sub-bin precision not needed:
+        # pick the peak of the energy envelope's spectrum, then project)
+        env = mel.mean(axis=1) - mel.mean()
+        freqs = np.fft.rfftfreq(T90, d=1 / 90.0)
+        spec = np.abs(np.fft.rfft(env))
+        spec[(freqs < 0.5) | (freqs > 2.5)] = 0.0  # beat_hz is in [0.8, 2.3]
+        # the pulse train (sin^8) has strong harmonics: take the LOWEST
+        # frequency near-peak, not the global argmax
+        cand = np.where(spec > 0.6 * spec.max())[0]
+        beat_hz = float(freqs[cand[0]])
+        # phase of a signal at beat_hz via complex projection
+        def phase(x, hz_rate):
+            t = np.arange(x.shape[0]) / hz_rate
+            z = np.exp(-2j * np.pi * beat_hz * t)
+            return np.angle((x * z).sum() if x.ndim == 1 else (x * z[:, None, None]).sum(0))
+
+        mel_phase = phase(env, 90.0)
+        motion_phase = np.array([
+            [phase(motion[:, j, d] - motion[:, j, d].mean(), 30.0) for d in range(2)]
+            for j in range(motion.shape[1])
+        ])
+        return mel_phase, motion_phase
+
+    def test_phase_offset_consistent_across_clips(self, tmp_path):
+        from conductor_tpu.data.dataset import make_synthetic_dataset
+
+        root = str(tmp_path / "corr")
+        make_synthetic_dataset(root, "train", num_clips=3, seed=0, correlated=True)
+        make_synthetic_dataset(root, "test", num_clips=2, seed=1, correlated=True)
+        offsets = []
+        for split, n in (("train", 3), ("test", 2)):
+            for i in range(n):
+                mel_ph, mot_ph = self._clip_phases(f"{root}/{split}/{i}")
+                # beat->gesture lag, wrapped to (-pi, pi]
+                off = np.angle(np.exp(1j * (mot_ph - mel_ph)))
+                offsets.append(off)
+        offsets = np.stack(offsets)  # (clips, joints, 2)
+        # per-clip jitter is +-0.125 rad by construction; allow estimation
+        # slack on top.  Cross-clip spread far below pi means the
+        # relationship is shared, not per-clip random (which would give
+        # spreads ~uniform on (-pi, pi]).
+        spread = np.abs(offsets - offsets.mean(axis=0, keepdims=True)).max()
+        assert spread < 0.6, f"phase offsets diverge across clips: {spread:.3f} rad"
+
+    def test_uncorrelated_has_no_shared_phase(self, tmp_path):
+        from conductor_tpu.data.dataset import make_synthetic_dataset
+
+        root = str(tmp_path / "uncorr")
+        make_synthetic_dataset(root, "train", num_clips=4, seed=0, correlated=False)
+        offsets = []
+        for i in range(4):
+            mel_ph, mot_ph = self._clip_phases(f"{root}/train/{i}")
+            offsets.append(np.angle(np.exp(1j * (mot_ph - mel_ph))))
+        spread = np.abs(np.stack(offsets) - np.stack(offsets).mean(axis=0)).max()
+        assert spread > 0.6  # random phases: no shared structure
