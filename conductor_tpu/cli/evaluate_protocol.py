@@ -119,9 +119,16 @@ def main(argv=None) -> None:
         args.data_root, args.split, sample_length=args.sample_length,
         mode="sequential",
     )
-    loader = BatchIterator(ds, args.batch_size, shuffle=False, seed=0)
+    loader = BatchIterator(ds, args.batch_size, shuffle=True, seed=args.seed)
 
-    def batches_fn():
+    def batches_fn(rep: int = 0):
+        # Reshuffle batch composition per replication: the reference's
+        # ground-truth loader is an epoch-seeded shuffling DataLoader
+        # re-iterated every replication (`tools/evaluation.py:160-200`,
+        # `datasets/dataloader.py:33-37`), so the within-batch distance
+        # matrices — hence ground-truth MatchingScore/R-precision — vary
+        # across replications and carry a real CI.
+        loader.epoch = rep
         for i, (mel, motion, _) in enumerate(loader):
             if args.max_batches is not None and i >= args.max_batches:
                 return

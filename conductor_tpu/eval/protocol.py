@@ -126,7 +126,16 @@ class ProtocolResult:
 class EvaluationProtocol:
     """Runs the full replicated protocol.
 
-    - ``batches_fn()`` yields (cond, real_motion) pairs each replication;
+    - ``batches_fn()`` (or ``batches_fn(rep)``) yields (cond, real_motion)
+      pairs each replication.  A one-argument ``batches_fn`` receives the
+      replication index and should reshuffle batch composition with it —
+      the reference's loaders are epoch-seeded shuffling DataLoaders
+      rebuilt/re-iterated every replication (`tools/evaluation.py:160-200`,
+      `datasets/dataloader.py:33-37`), so the within-batch distance matrices
+      behind MatchingScore/R-precision differ per replication and the
+      ground-truth metrics carry a real 95 % CI.  A zero-argument
+      ``batches_fn`` replays identical batches (ground-truth CIs collapse
+      to 0 by construction — only correct for fixed-composition debugging).
     - ``generators`` maps model name -> ``generate(cond) -> motion``;
     - ``mm_generate(cond, repeats) -> (B, R, ...)`` enables MultiModality.
     """
@@ -137,12 +146,24 @@ class EvaluationProtocol:
 
     def run(
         self,
-        batches_fn: Callable[[], Iterable[tuple]],
+        batches_fn: Callable[..., Iterable[tuple]],
         generators: dict[str, Callable],
         mm_generate: Callable | None = None,
         mm_conds=None,
     ) -> ProtocolResult:
+        import inspect
+
         cfg = self.cfg
+        try:
+            sig = inspect.signature(batches_fn)
+            takes_rep = bool(sig.parameters) and all(
+                p.default is not inspect.Parameter.empty
+                or p.kind in (inspect.Parameter.POSITIONAL_ONLY,
+                              inspect.Parameter.POSITIONAL_OR_KEYWORD)
+                for p in list(sig.parameters.values())[:1]
+            )
+        except (TypeError, ValueError):
+            takes_rep = False
         result = ProtocolResult()
         for rep in range(cfg.replication_times):
             seed = cfg.seed + rep
@@ -154,7 +175,7 @@ class EvaluationProtocol:
             gt_topk = np.zeros(cfg.top_k)
             total = 0
 
-            for cond, real in batches_fn():
+            for cond, real in (batches_fn(rep) if takes_rep else batches_fn()):
                 cond_emb, real_emb = self.wrapper.embed(cond, real)
                 gt_embs.append(real_emb)
                 total += cond_emb.shape[0]
@@ -271,6 +292,8 @@ class PregeneratedSamples:
         replication (the protocol re-iterates `batches_fn` per replication);
         without the wrap a `replication_times > 1` run would silently read
         past the end of the cache and feed empty batches into the metrics.
+        Requires IDENTICAL batch composition every replication — with a
+        reshuffling `batches_fn(rep)` use :meth:`lookup_generator` instead.
         Note a replayed cache makes replications identical by construction —
         for nonzero CIs on MatchingScore/R-precision/FID use a live
         fresh-noise generator (`cli.evaluate_protocol.make_generator`)."""
@@ -287,6 +310,37 @@ class PregeneratedSamples:
                 )
             cursor["i"] = i + n
             return self.fakes[i : i + n]
+
+        return gen
+
+    def lookup_generator(self) -> Callable:
+        """A `generate(cond_batch)` closure resolving cached samples BY
+        CONDITION, not by replay order — the reference's semantics: its
+        pregenerated `EvaluationDataset` sits under an epoch-seeded
+        *shuffling* DataLoader (`datasets/evaluator.py:16-130` +
+        `datasets/dataloader.py:33-37`), so each replication re-batches the
+        same (cond, fake) PAIRS in a new composition.  Plug this into a
+        reshuffling ``batches_fn(rep)`` protocol run; conditions are matched
+        by exact byte identity (duplicate conditions share one fake, which
+        is what a dataset keyed by sample does too)."""
+        table = {
+            np.ascontiguousarray(c).tobytes(): self.fakes[i]
+            for i, c in enumerate(self.conds)
+        }
+
+        def gen(cond_batch):
+            cond_batch = np.asarray(cond_batch)
+            out = []
+            for c in cond_batch:
+                key = np.ascontiguousarray(c).tobytes()
+                if key not in table:
+                    raise KeyError(
+                        "condition not in the pregenerated cache — the "
+                        "protocol batches must draw from the same samples "
+                        "the cache was generated for"
+                    )
+                out.append(table[key])
+            return np.stack(out)
 
         return gen
 
