@@ -37,12 +37,104 @@ Reference semantics: `Contrastive_Stage/models/MusicEncoder.py:5-27`
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_conv import _halo_assemble, fused_conv_block
+from .pallas_conv import _halo_assemble, fused_conv_block, stack_time_tiles
 
 F32 = jnp.float32
+
+# d(kernel) contraction backend: "pallas" (grid-accumulated in-VMEM kernel,
+# the default) or "xla" (einsum over a materialized halo tensor — kept for
+# parity tests and as the fallback should a future shape break the kernel).
+# Switch with `set_dkernel_impl`; module-level because the choice is a
+# backend detail, not model config.
+_DKERNEL_IMPL = "pallas"
+
+
+def set_dkernel_impl(impl: str) -> None:
+    assert impl in ("pallas", "xla"), impl
+    global _DKERNEL_IMPL
+    _DKERNEL_IMPL = impl
+
+
+def _dkernel_kernel(
+    xt_ref, dy_ref, o_ref, *, tile: int, fb: int, g: int, cin: int,
+    cout: int, mxu_dtype,
+):
+    """Grid-accumulated d(kernel) contraction: o (3, (G+2)*Cin, G*Cout) +=
+    z[dt:dt+tile]^T dy per time tile, with the frequency halo assembled
+    in-register from the same packed tiles the forward consumes.  XLA's
+    version of this contraction materialized BOTH operands in transposed
+    (time-in-lanes) layouts — ~3 ms/step of copies plus 6 TF/s contraction
+    fusions (round-4 profile, NOTES.md)."""
+    i, j = pl.program_id(0), pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    if fb == 1:
+        # FB == 1 carried as a real axis would give (1, 128) trailing tiles
+        # (see the forward's fb_squeezed note); re-expand in-register
+        xb = xt_ref[0, 0].reshape(xt_ref.shape[2], 1, g * cin)
+        dy2 = dy_ref[0]  # (tile, n)
+    else:
+        xb = xt_ref[0, 0]  # (tile+2, fb, g*cin)
+        dy2 = dy_ref[0]
+    z = _halo_assemble(xb, fb=fb, g=g, cin=cin, edge="reflect",
+                       mxu_dtype=mxu_dtype)
+    k = (g + 2) * cin
+    n = g * cout
+    dyb = dy2.reshape(tile * fb, n).astype(mxu_dtype)
+    for dt in range(3):
+        zz = z[dt : dt + tile].reshape(tile * fb, k)
+        # contract over the row axis: (K, rows) x (rows, N) on the MXU
+        o_ref[dt] += jax.lax.dot_general(
+            zz, dyb, (((0,), (0,)), ((), ())), preferred_element_type=F32
+        )
+
+
+def _dkernel_pallas(
+    x_flat: jnp.ndarray, dy_flat: jnp.ndarray, cin: int, cout: int,
+    *, tile: int = 150,
+) -> jnp.ndarray:
+    """dWbig (3, (G+2)*Cin, G*Cout) f32 for the reflect-padded packed conv:
+    sum over (B, T, FB) of halo(x)[t+dt]^T dy[t]."""
+    b, t, fc = x_flat.shape
+    f = fc // cin
+    g = max(128 // cin, 1)
+    fbn = f // g
+    n = g * cout
+    while t % tile:
+        tile //= 2
+    nt = t // tile
+    xtiles = stack_time_tiles(
+        x_flat, tile, nt, edge="reflect"
+    ).reshape(b, nt, tile + 2, fbn, g * cin)
+    dy4 = dy_flat.reshape(b, t, fbn, n)
+    return pl.pallas_call(
+        functools.partial(
+            _dkernel_kernel, tile=tile, fb=fbn, g=g, cin=cin, cout=cout,
+            mxu_dtype=x_flat.dtype,
+        ),
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile + 2, fbn, g * cin),
+                         lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, fbn, n), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, (g + 2) * cin, n), lambda i, j: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, (g + 2) * cin, n), F32),
+        interpret=jax.default_backend() != "tpu",
+    )(xtiles, dy4)
 
 
 def _conv_fwd_impl(x_flat: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
@@ -145,20 +237,23 @@ def _conv_bwd(res, dy_flat):
 
     # ---- d(kernel): three packed lane-full matmuls + offset-eye fold.
     g = max(128 // cin, 1)
-    fbn = f // g
-    xpad = jnp.concatenate(  # reflect-extended time rows (matches forward)
-        [x_flat[:, 1:2], x_flat, x_flat[:, t - 2 : t - 1]], axis=1
-    )
-    z = _halo_assemble(
-        xpad.reshape(b * (t + 2), fbn, g * cin),
-        fb=fbn, g=g, cin=cin, edge="reflect", mxu_dtype=dtype,
-    ).reshape(b, t + 2, fbn, (g + 2) * cin)
-    dyp = dy_flat.reshape(b, t, fbn, g * cout)
-    dwbig = jnp.stack([
-        jnp.einsum("btfk,btfn->kn", z[:, dt : dt + t], dyp,
-                   preferred_element_type=F32)
-        for dt in range(3)
-    ])  # (3, (G+2)*Cin, G*Cout)
+    if _DKERNEL_IMPL == "pallas":
+        dwbig = _dkernel_pallas(x_flat, dy_flat, cin, cout)
+    else:
+        fbn = f // g
+        xpad = jnp.concatenate(  # reflect-extended time rows (matches forward)
+            [x_flat[:, 1:2], x_flat, x_flat[:, t - 2 : t - 1]], axis=1
+        )
+        z = _halo_assemble(
+            xpad.reshape(b * (t + 2), fbn, g * cin),
+            fb=fbn, g=g, cin=cin, edge="reflect", mxu_dtype=dtype,
+        ).reshape(b, t + 2, fbn, (g + 2) * cin)
+        dyp = dy_flat.reshape(b, t, fbn, g * cout)
+        dwbig = jnp.stack([
+            jnp.einsum("btfk,btfn->kn", z[:, dt : dt + t], dyp,
+                       preferred_element_type=F32)
+            for dt in range(3)
+        ])  # (3, (G+2)*Cin, G*Cout)
     r = dwbig.reshape(3, g + 2, cin, g, cout)
     # adjoint of build_wbig: dW[dt,dg,ci,co] = sum_gg dWbig[dt,(gg+dg)Cin+ci,
     # gg*Cout+co] — an offset-eye contraction per dg.

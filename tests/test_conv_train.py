@@ -74,6 +74,33 @@ def test_conv_vjp_matches_xla(b, t, f, cin, cout):
     )
 
 
+@pytest.mark.parametrize("b,t,f,cin,cout", CONV_CASES[:2])
+def test_dkernel_pallas_matches_xla_impl(b, t, f, cin, cout):
+    """The grid-accumulated Pallas d(kernel) contraction (the default) and
+    the materialized-halo XLA einsum fallback must produce identical dWbig —
+    both reduce sum_{B,T,FB} halo(x)[t+dt]^T dy[t] over the same reflect-
+    extended grid, differing only in where the halo tensor lives."""
+    from conductor_tpu.ops import conv_train
+
+    ks = jax.random.split(jax.random.PRNGKey(7 * f + cout), 3)
+    x = jax.random.normal(ks[0], (b, t, f * cin))
+    kernel = jax.random.normal(ks[1], (3, 3, cin, cout)) * 0.2
+    dy = jax.random.normal(ks[2], (b, t, f * cout))
+
+    grads = {}
+    for impl in ("pallas", "xla"):
+        conv_train.set_dkernel_impl(impl)
+        try:
+            _, vjp = jax.vjp(conv3x3_train, x, kernel)
+            grads[impl] = np.asarray(vjp(dy)[1])
+        finally:
+            conv_train.set_dkernel_impl("pallas")
+    scale = max(float(np.abs(grads["xla"]).max()), 1.0)
+    np.testing.assert_allclose(
+        grads["pallas"], grads["xla"], atol=1e-5 * scale, rtol=1e-5
+    )
+
+
 POOLS = [
     # (C, F, T, window, strides, padding) — the encoder's three pool stages
     (16, 128, 36, (5, 5), (1, 2), ((2, 2), (2, 2))),
