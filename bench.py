@@ -84,6 +84,16 @@ def main() -> None:
     best = min(times)
 
     frames_per_sec_per_chip = (B * T30) / best / n_chips
+
+    # MFU from the analytic per-step matmul count (utils/flops.py; int8
+    # AdaLN priced at the int8 peak so quantization can't flatter the
+    # number) — makes MXU-efficiency regressions visible independent of the
+    # vs_baseline ratio (VERDICT r3 #8).
+    from conductor_tpu.utils.flops import sampling_mfu
+
+    mfu = sampling_mfu(
+        cfg, B, T30, cfg.diffusion.steps, best, n_chips=n_chips
+    )
     print(
         json.dumps(
             {
@@ -93,6 +103,8 @@ def main() -> None:
                 "vs_baseline": round(
                     frames_per_sec_per_chip / NORTH_STAR_FRAMES_PER_SEC_PER_CHIP, 4
                 ),
+                "achieved_tflops_per_chip": mfu["achieved_tflops"],
+                "mfu_pct": mfu["mfu_pct"],
             }
         )
     )

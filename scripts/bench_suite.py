@@ -94,11 +94,15 @@ def bench_sampling(results: list[dict]) -> None:
         B = 1 if per_chip is None else max(1, n_chips) * per_chip
         mel = jax.random.uniform(rng, (B, T90, cfg.dataset.mel_bins))
         sec = timed(lambda: trainer.generate(state, mel, rng, num_steps=steps))
+        from conductor_tpu.utils.flops import sampling_mfu
+
         results.append({
             "surface": name,
             "seconds": round(sec, 4),
             "frames_per_sec_per_chip": round(B * T30 / sec / n_chips, 1),
             "batch": B,
+            **sampling_mfu(cfg, B, T30, steps or cfg.diffusion.steps, sec,
+                           n_chips=n_chips),
         })
 
 
@@ -138,9 +142,12 @@ def bench_stage2_train(results: list[dict]) -> None:
         return metrics["loss"]
 
     sec = timed_steps(step)
+    from conductor_tpu.utils.flops import train_step_mfu
+
     results.append({
         "surface": "train_step_stage2_b32_cached_fused",
         "ms_per_step": round(sec * 1e3, 2),
+        **train_step_mfu(cfg, B, S * 30, sec),
     })
 
 
