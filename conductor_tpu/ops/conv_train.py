@@ -68,10 +68,12 @@ def _dkernel_kernel(
 ):
     """Grid-accumulated d(kernel) contraction: o (3, (G+2)*Cin, G*Cout) +=
     z[dt:dt+tile]^T dy per time tile, with the frequency halo assembled
-    in-register from the same packed tiles the forward consumes.  XLA's
-    version of this contraction materialized BOTH operands in transposed
-    (time-in-lanes) layouts — ~3 ms/step of copies plus 6 TF/s contraction
-    fusions (round-4 profile, NOTES.md)."""
+    in-register from the same pre-stacked (tile+2)-row windows the forward
+    consumes (one DMA per block — see the stacking-vs-split note in
+    `pallas_conv.fused_conv_block`).  XLA's version of this contraction
+    materialized BOTH operands in transposed (time-in-lanes) layouts —
+    ~3 ms/step of copies plus 6 TF/s contraction fusions (round-4 profile,
+    NOTES.md)."""
     i, j = pl.program_id(0), pl.program_id(1)
 
     @pl.when((i == 0) & (j == 0))
@@ -81,7 +83,7 @@ def _dkernel_kernel(
     if fb == 1:
         # FB == 1 carried as a real axis would give (1, 128) trailing tiles
         # (see the forward's fb_squeezed note); re-expand in-register
-        xb = xt_ref[0, 0].reshape(xt_ref.shape[2], 1, g * cin)
+        xb = xt_ref[0, 0].reshape(tile + 2, 1, g * cin)
         dy2 = dy_ref[0]  # (tile, n)
     else:
         xb = xt_ref[0, 0]  # (tile+2, fb, g*cin)

@@ -85,11 +85,19 @@ def _freq_pool_compress(
 
 
 def _pool_kernel(
-    x_ref, o_ref, *, p: int, fb: int, g: int, c: int,
-    wt: int, st: int, wf: int, pf: int, neg: float,
+    x_ref, halo_ref, o_ref, *, p: int, fb: int, g: int, c: int,
+    wt: int, st: int, wf: int, pf: int, neg: float, front: int,
 ):
-    t = _time_pool(x_ref[0, 0], p, wt, st)
+    xb = _assemble_rows(x_ref, halo_ref, front)
+    t = _time_pool(xb, p, wt, st)
     o_ref[0] = _freq_pool_compress(t, g, c, wf, pf, neg)
+
+
+def _assemble_rows(x_ref, halo_ref, front: int):
+    """main (p*st rows) + halo (front rows above, rest below) -> the
+    rows_blk window, concatenated in-register (see `_pool_split`)."""
+    h = halo_ref[0, 0]
+    return jnp.concatenate([h[:front], x_ref[0, 0], h[front:]], axis=0)
 
 
 def pool_geometry(t: int, window, strides, padding, tile: int):
@@ -123,6 +131,35 @@ def _pool_stack(x2, nt, p, st, rows_blk, pt0, neg):
     )
 
 
+def _pool_split(x2, nt, p, st, rows_blk, pt0, neg):
+    """(B, T, FB, L) -> (main (B, nt, p*st, FB, L) — a pure dimension-split
+    reshape, no copy — and halo (B, nt, pt0+back, FB, L)).
+
+    Replaces the materialized overlapping stack (`_pool_stack`): for the
+    encoder's pool family nt*p*st == T exactly (wt = 2*pt0 + st for the
+    stride-1 pools; T % 3 == 0 for the stride-3 stage), so the main tile is
+    the activation itself and only pt0 front + back boundary rows per tile
+    move.  halo rows [0:pt0] are global rows j*p*st - pt0 .. (previous
+    tile's tail; -inf at the clip top), rows [pt0:] are rows (j+1)*p*st ..
+    (next tile's head; -inf past the clip end)."""
+    b, t = x2.shape[:2]
+    pst = p * st
+    assert nt * pst == t, (nt, p, st, t)
+    back = rows_blk - pt0 - pst
+    assert back >= 0, (rows_blk, pt0, pst)
+    main = x2.reshape(b, nt, pst, *x2.shape[2:])
+    neg_row = jnp.full_like(x2[:, :1], neg)
+    front_h = jnp.concatenate(
+        [jnp.broadcast_to(neg_row, (b, pt0, *x2.shape[2:]))[:, None],
+         main[:, :-1, pst - pt0 :]], axis=1,
+    )                                                   # (B, nt, pt0, FB, L)
+    back_h = jnp.concatenate(
+        [main[:, 1:, :back],
+         jnp.broadcast_to(neg_row, (b, back, *x2.shape[2:]))[:, None]], axis=1,
+    )                                                   # (B, nt, back, FB, L)
+    return main, jnp.concatenate([front_h, back_h], axis=2)
+
+
 def fused_max_pool(
     x: jnp.ndarray,          # (B, T, F, C)
     window: tuple[int, int],
@@ -148,16 +185,20 @@ def fused_max_pool(
 
     neg = float(jnp.finfo(x.dtype).min)
     x2 = x.reshape(b, t, fb, g * c)
-    xtiles = _pool_stack(x2, nt, p, st, rows_blk, pt0, neg)
+    main, halo = _pool_split(x2, nt, p, st, rows_blk, pt0, neg)
+    hr = rows_blk - p * st
 
     out = pl.pallas_call(
         functools.partial(
             _pool_kernel, p=p, fb=fb, g=g, c=c,
-            wt=wt, st=st, wf=wf, pf=pf0, neg=neg,
+            wt=wt, st=st, wf=wf, pf=pf0, neg=neg, front=pt0,
         ),
         grid=(b, nt),
         in_specs=[
-            pl.BlockSpec((1, 1, rows_blk, fb, g * c),
+            pl.BlockSpec((1, 1, p * st, fb, g * c),
+                         lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hr, fb, g * c),
                          lambda i, j: (i, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -167,7 +208,7 @@ def fused_max_pool(
         ),
         out_shape=jax.ShapeDtypeStruct((b, t_out, fb, (g // 2) * c), x.dtype),
         interpret=jax.default_backend() != "tpu",
-    )(xtiles)
+    )(main, halo)
     return out.reshape(b, t_out, f // 2, c)
 
 
@@ -213,12 +254,13 @@ def _add_rows(buf, lo, v):
 
 
 def _pool_bwd_kernel(
-    x_ref, dy_ref, o_ref, *, p, fb, g, c, wt, st, wf, pf, neg,
+    x_ref, halo_ref, dy_ref, om_ref, oh_ref, *, p, fb, g, c, wt, st, wf, pf,
+    neg, front,
 ):
     # recompute in f32: bf16 -> f32 casts are exact, so the winner detection
     # matches the bf16 forward bit-for-bit — and v5e's vector compare does
     # not support bf16 equality ("Target does not support this comparison")
-    xb = x_ref[0, 0].astype(jnp.float32)    # (rows_blk, FB, G*C)
+    xb = _assemble_rows(x_ref, halo_ref, front).astype(jnp.float32)
     tpool = _time_pool(xb, p, wt, st)       # (P, FB, G*C)
     blk = jax.lax.broadcasted_iota(jnp.int32, (p, fb, pf * c), 1)
     prev_cols = jnp.where(
@@ -295,7 +337,11 @@ def _pool_bwd_kernel(
             seen = seen | (tap == tpool)
             planes[s] = _add_rows(planes[s], a, jnp.where(m, dt, 0.0))
         dx = jnp.stack(planes, axis=1).reshape(rows_blk, fb, g * c)
-    o_ref[0, 0] = dx.astype(o_ref.dtype)
+    pst = p * st
+    om_ref[0, 0] = dx[front : front + pst].astype(om_ref.dtype)
+    oh_ref[0, 0] = jnp.concatenate(
+        [dx[:front], dx[front + pst :]], axis=0
+    ).astype(oh_ref.dtype)
 
 
 @functools.lru_cache(maxsize=None)
@@ -326,42 +372,64 @@ def _make_pool_op(f, c, window, strides, padding, tile):
         )
         nt = t_out // p
         neg = float(jnp.finfo(x_flat.dtype).min)
+        pst = p * st
+        back = rows_blk - pt0 - pst
 
-        def stack_fn(xf):
-            return _pool_stack(
-                xf.reshape(b, t, fb, g * c), nt, p, st, rows_blk, pt0, neg
-            )
-
-        xtiles, unstack = jax.vjp(stack_fn, x_flat)
+        main, halo = _pool_split(
+            x_flat.reshape(b, t, fb, g * c), nt, p, st, rows_blk, pt0, neg
+        )
         dy4 = dy_flat.reshape(b, t_out, fb, (g // 2) * c)
-        dxtiles = pl.pallas_call(
+        dm, dh = pl.pallas_call(
             functools.partial(
                 _pool_bwd_kernel, p=p, fb=fb, g=g, c=c,
-                wt=wt, st=st, wf=wf, pf=pf0, neg=neg,
+                wt=wt, st=st, wf=wf, pf=pf0, neg=neg, front=pt0,
             ),
             grid=(b, nt),
             in_specs=[
-                pl.BlockSpec((1, 1, rows_blk, fb, g * c),
+                pl.BlockSpec((1, 1, pst, fb, g * c),
+                             lambda i, j: (i, j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, pt0 + back, fb, g * c),
                              lambda i, j: (i, j, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, p, fb, (g // 2) * c),
                              lambda i, j: (i, j, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec(
-                (1, 1, rows_blk, fb, g * c), lambda i, j: (i, j, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct(
-                (b, nt, rows_blk, fb, g * c), dy_flat.dtype
-            ),
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, pst, fb, g * c), lambda i, j: (i, j, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, pt0 + back, fb, g * c),
+                    lambda i, j: (i, j, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, nt, pst, fb, g * c), dy_flat.dtype),
+                jax.ShapeDtypeStruct(
+                    (b, nt, pt0 + back, fb, g * c), dy_flat.dtype
+                ),
+            ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024
             ),
             interpret=jax.default_backend() != "tpu",
-        )(xtiles, dy4)
-        (dx,) = unstack(dxtiles.astype(xtiles.dtype))
-        return (dx.astype(x_flat.dtype),)
+        )(main, halo, dy4)
+        # fold the halo cotangents back onto their owning rows: tile j's
+        # front rows live in tile j-1's tail, its back rows in tile j+1's
+        # head (clip-edge halo rows were -inf pad — their grads are exactly
+        # zero and are dropped).  Two shifted pads, no scatter.
+        dm = (
+            dm
+            + jnp.pad(dh[:, 1:, :pt0],
+                      ((0, 0), (0, 1), (pst - pt0, 0), (0, 0), (0, 0)))
+            + jnp.pad(dh[:, :-1, pt0:],
+                      ((0, 0), (1, 0), (0, pst - back), (0, 0), (0, 0)))
+        )
+        return (dm.reshape(b, t, f * c).astype(x_flat.dtype),)
 
     op.defvjp(fwd, bwd)
     return op
