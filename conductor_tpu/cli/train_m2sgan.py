@@ -70,6 +70,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["flax", "pallas"],
                    help="frozen SyncLoss ST-GCN as fused whole-network "
                         "kernels (ops/pallas_stgcn.py)")
+    p.add_argument("--cached_features", action="store_true",
+                   help="precompute the FROZEN music encoder's features once "
+                        "per dataset and train from the cache — bit-identical "
+                        "numerics (everything trainable sits after the cache "
+                        "boundary), removes the dominant per-step cost "
+                        "(round-4 profile in NOTES.md); incompatible with "
+                        "--train_music_encoder")
     return p
 
 
@@ -86,6 +93,7 @@ def main(argv=None) -> None:
         sync_encoder_impl=args.sync_encoder_impl,
         train_music_encoder=args.train_music_encoder,
         music_conv_impl=args.music_conv_impl,
+        cached_features=args.cached_features,
     )
     rng = jax.random.PRNGKey(args.seed)
 
@@ -115,10 +123,30 @@ def main(argv=None) -> None:
         state = ckpt.restore(state)
         print(f"resumed from step {int(state.step)}")
 
-    ds = ConductorMotionDataset(
-        args.data_root, "train", sample_length=args.sample_length,
-        mode="sequential", limit_hours=args.limit_hours,
-    )
+    if args.cached_features:
+        from ..data.feature_cache import (
+            FeatureCachedDataset,
+            precompute_music_features,
+        )
+
+        g_vars = {"params": state.g_params, "batch_stats": state.g_batch_stats}
+        encode = jax.jit(lambda mel: trainer._music_features(g_vars, mel))
+        # cache keyed to THIS stage's transferred encoder — a separate file
+        # from stage-2's grafted-encoder cache on the same data root
+        n = precompute_music_features(
+            encode, args.data_root, "train", filename="music_feat_m2sgan.npy"
+        )
+        print(f"feature cache: {n} clips precomputed")
+        ds = FeatureCachedDataset(
+            args.data_root, "train", sample_length=args.sample_length,
+            mode="sequential", limit_hours=args.limit_hours,
+            feature_file="music_feat_m2sgan.npy",
+        )
+    else:
+        ds = ConductorMotionDataset(
+            args.data_root, "train", sample_length=args.sample_length,
+            mode="sequential", limit_hours=args.limit_hours,
+        )
     loader = BatchIterator(ds, args.batch_size, seed=args.seed)
     test_ds = ConductorMotionDataset(
         args.data_root, "test", sample_length=args.sample_length,

@@ -30,15 +30,18 @@ def precompute_music_features(
     *,
     batch_size: int = 8,
     overwrite: bool = False,
+    filename: str = FEATURE_FILE,
 ) -> int:
     """Run ``encode_fn(mel (B, T90, 128)) -> (B, T30, C)`` over every clip of
-    a split, writing `music_feat.npy` beside each `mel.npy`.  Returns the
-    number of clips written.  Clips are batched by equal length."""
+    a split, writing ``filename`` beside each `mel.npy`.  Returns the number
+    of clips written.  Clips are batched by equal length.  ``filename``
+    separates caches keyed to DIFFERENT frozen encoders sharing one data
+    root (stage-2's grafted encoder vs the GAN stage's transferred one)."""
     clips = scan_split(root, split)
     todo = [
         c for c in clips
         if overwrite
-        or not os.path.exists(os.path.join(os.path.dirname(c.mel_path), FEATURE_FILE))
+        or not os.path.exists(os.path.join(os.path.dirname(c.mel_path), filename))
     ]
     by_len: dict[int, list[ClipIndex]] = {}
     for c in todo:
@@ -53,7 +56,7 @@ def precompute_music_features(
             feats = np.asarray(encode_fn(mel))
             for c, f in zip(chunk, feats):
                 np.save(
-                    os.path.join(os.path.dirname(c.mel_path), FEATURE_FILE), f
+                    os.path.join(os.path.dirname(c.mel_path), filename), f
                 )
                 written += 1
     return written
@@ -61,11 +64,18 @@ def precompute_music_features(
 
 class FeatureCachedDataset(ConductorMotionDataset):
     """`ConductorMotionDataset` yielding (features (s*30, C), motion, m_len)
-    windows from the cache instead of raw mel."""
+    windows from the cache instead of raw mel.  ``feature_file`` must match
+    the ``filename`` the cache was precomputed under."""
+
+    feature_file: str = FEATURE_FILE
+
+    def __init__(self, *args, feature_file: str = FEATURE_FILE, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.feature_file = feature_file
 
     def _load_window(self, clip: ClipIndex, start_sec: int):
         s = self.spec
-        feat_path = os.path.join(os.path.dirname(clip.mel_path), FEATURE_FILE)
+        feat_path = os.path.join(os.path.dirname(clip.mel_path), self.feature_file)
         feats = np.load(feat_path, mmap_mode="r")
         mot = np.load(clip.motion_path, mmap_mode="r")
         f0, f1 = start_sec * s.motion_hz, (start_sec + self.sample_length) * s.motion_hz

@@ -63,6 +63,7 @@ class M2SGANTrainer:
         sync_encoder_impl: str = "flax",   # "flax" | "pallas" (fused kernels)
         train_music_encoder: bool = False,
         music_conv_impl: str = "lax",  # "lax" | "pallas_train" (packed kernels)
+        cached_features: bool = False,
     ):
         self.sample_length = sample_length
         self.critic_iters = critic_iters
@@ -81,6 +82,21 @@ class M2SGANTrainer:
                 "music_encoder_impl='pallas' is an inference-only fast path "
                 "for the FROZEN encoder; with train_music_encoder use "
                 "music_conv_impl='pallas_train' (trainable packed kernels)"
+            )
+        # Cached frozen-encoder features, the stage-2 `cached_features`
+        # design applied to the GAN stage: the reference re-runs the frozen
+        # M2SNet music encoder on raw mel every step (`M2SGAN_train.py:55`
+        # M2SNet.eval(); round-4 profile: that forward + its layout traffic
+        # is over half the step at batch 55).  With the cache the batch
+        # carries the precomputed (T30, 64) features; numerics are
+        # bit-identical because everything trainable sits after the cache
+        # boundary.
+        self.cached_features = cached_features
+        if cached_features and train_music_encoder:
+            raise ValueError(
+                "cached_features requires the frozen music encoder "
+                "(train_music_encoder=False): a trainable encoder's output "
+                "changes every update and cannot be precomputed"
             )
         self.G = Generator(
             freeze_music_encoder=not train_music_encoder,
@@ -179,7 +195,12 @@ class M2SGANTrainer:
                 self.G.apply(g_vars, mel, noise, False)
             )
         else:
-            hx = self._music_features(g_vars, mel)
+            # with cached_features the batch's first element IS the frozen
+            # encoder output (B, T30, 64) — see __init__
+            hx = (
+                jax.lax.stop_gradient(mel) if self.cached_features
+                else self._music_features(g_vars, mel)
+            )
             fake_detached = jax.lax.stop_gradient(
                 self.G.apply(g_vars, hx, noise, False, method=self.G.decode)
             )

@@ -184,28 +184,37 @@ def bench_m2snet(results: list[dict]) -> None:
 def bench_m2sgan(results: list[dict]) -> None:
     from conductor_tpu.train.m2sgan_trainer import M2SGANTrainer
 
-    trainer = M2SGANTrainer(
-        sample_length=30, music_encoder_impl="pallas",
-        sync_encoder_dtype="bfloat16", sync_encoder_impl="pallas",
-    )
     rng = jax.random.PRNGKey(0)
-    state = trainer.init_state(rng)
     B = 55  # reference batch (`M2SGAN_train.py:178`)
     mel = jax.random.uniform(rng, (B, 30 * 90, 128))
     motion = jax.random.uniform(rng, (B, 30 * 30, 13, 2))
-    holder = {"state": state}
 
-    def step():
-        holder["state"], metrics = trainer.train_step(
-            holder["state"], (mel, motion), rng
+    for cached, tag in ((False, ""), (True, "_cached")):
+        trainer = M2SGANTrainer(
+            sample_length=30, music_encoder_impl="pallas",
+            sync_encoder_dtype="bfloat16", sync_encoder_impl="pallas",
+            cached_features=cached,
         )
-        return metrics["w_distance"]
+        state = trainer.init_state(rng)
+        if cached:  # precomputed frozen-encoder features replace the mel
+            g_vars = {"params": state.g_params,
+                      "batch_stats": state.g_batch_stats}
+            cond = jax.jit(lambda m: trainer._music_features(g_vars, m))(mel)
+        else:
+            cond = mel
+        holder = {"state": state}
 
-    sec = timed_steps(step, k=10)
-    results.append({
-        "surface": "m2sgan_step_b55_fused",
-        "ms_per_step": round(sec * 1e3, 2),
-    })
+        def step():
+            holder["state"], metrics = trainer.train_step(
+                holder["state"], (cond, motion), rng
+            )
+            return metrics["w_distance"]
+
+        sec = timed_steps(step, k=10)
+        results.append({
+            "surface": f"m2sgan_step_b55_fused{tag}",
+            "ms_per_step": round(sec * 1e3, 2),
+        })
 
 
 SURFACES = {

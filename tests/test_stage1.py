@@ -308,3 +308,39 @@ class TestM2SGANTrainer:
 
         with pytest.raises(ValueError):
             M2SGANTrainer(train_music_encoder=True, music_encoder_impl="pallas")
+
+    def test_cached_features_step_matches_uncached(self, rng):
+        """`cached_features=True` feeds the precomputed frozen-encoder
+        output directly (the stage-2 cache design applied to the GAN stage,
+        r4); with identical init and the SAME features the step must
+        reproduce the uncached step's metrics to float tolerance — the
+        cache boundary sits strictly before everything trainable."""
+        mel = jax.random.uniform(rng, (2, 6 * 90, 128))
+        real = jax.random.uniform(jax.random.fold_in(rng, 1), (2, 180, 13, 2))
+
+        ref = M2SGANTrainer(sample_length=6, critic_iters=2)
+        cached = M2SGANTrainer(sample_length=6, critic_iters=2,
+                               cached_features=True)
+        s_ref = ref.init_state(rng)
+        s_cached = cached.init_state(rng)
+        g_vars = {"params": s_ref.g_params, "batch_stats": s_ref.g_batch_stats}
+        feats = ref._music_features(g_vars, mel)
+
+        s_ref, m_ref = ref.train_step(s_ref, (mel, real), rng)
+        s_cached, m_cached = cached.train_step(s_cached, (feats, real), rng)
+        for k in m_ref:
+            np.testing.assert_allclose(
+                float(m_cached[k]), float(m_ref[k]), rtol=1e-5, atol=1e-6,
+            )
+        # and the updated generator parameters agree
+        la = jax.tree_util.tree_leaves(s_ref.g_params)
+        lb = jax.tree_util.tree_leaves(s_cached.g_params)
+        for a, b in zip(la, lb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_cached_features_rejects_trainable_encoder(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            M2SGANTrainer(cached_features=True, train_music_encoder=True)
