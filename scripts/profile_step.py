@@ -45,22 +45,29 @@ def build_m2snet(impl: str):
     return step
 
 
-def build_m2sgan():
+def build_m2sgan(cached: bool = False):
     from conductor_tpu.train.m2sgan_trainer import M2SGANTrainer
 
     trainer = M2SGANTrainer(
         sample_length=30, music_encoder_impl="pallas",
         sync_encoder_dtype="bfloat16", sync_encoder_impl="pallas",
+        cached_features=cached,
     )
     rng = jax.random.PRNGKey(0)
     B = 55
     mel = jax.random.uniform(rng, (B, 30 * 90, 128))
     motion = jax.random.uniform(rng, (B, 30 * 30, 13, 2))
-    holder = {"state": trainer.init_state(rng)}
+    state = trainer.init_state(rng)
+    if cached:
+        g_vars = {"params": state.g_params, "batch_stats": state.g_batch_stats}
+        cond = jax.jit(lambda m: trainer._music_features(g_vars, m))(mel)
+    else:
+        cond = mel
+    holder = {"state": state}
 
     def step():
         holder["state"], metrics = trainer.train_step(
-            holder["state"], (mel, motion), rng
+            holder["state"], (cond, motion), rng
         )
         return metrics["w_distance"]
 
@@ -127,6 +134,7 @@ SURFACES = {
     "m2snet": lambda: build_m2snet("pallas_train"),
     "m2snet_lax": lambda: build_m2snet("lax"),
     "m2sgan": build_m2sgan,
+    "m2sgan_cached": lambda: build_m2sgan(cached=True),
     "stage2": build_stage2,
     "sample": build_sample,
 }
