@@ -77,6 +77,14 @@ def build_argparser() -> argparse.ArgumentParser:
                         "boundary), removes the dominant per-step cost "
                         "(round-4 profile in NOTES.md); incompatible with "
                         "--train_music_encoder")
+    p.add_argument("--cached_sync_latents", action="store_true",
+                   help="precompute the frozen SyncLoss motion encoder's "
+                        "latents of REAL motion once per dataset (per "
+                        "training window) and read them from the cache — "
+                        "the other data-deterministic frozen forward in the "
+                        "generator step (round-4 NOTES profile: ~ half the "
+                        "SyncLoss ST-GCN cost); fake-side latents and their "
+                        "backward stay on-device")
     return p
 
 
@@ -94,6 +102,7 @@ def main(argv=None) -> None:
         train_music_encoder=args.train_music_encoder,
         music_conv_impl=args.music_conv_impl,
         cached_features=args.cached_features,
+        cached_sync_latents=args.cached_sync_latents,
     )
     rng = jax.random.PRNGKey(args.seed)
 
@@ -124,10 +133,7 @@ def main(argv=None) -> None:
         print(f"resumed from step {int(state.step)}")
 
     if args.cached_features:
-        from ..data.feature_cache import (
-            FeatureCachedDataset,
-            precompute_music_features,
-        )
+        from ..data.feature_cache import precompute_music_features
 
         g_vars = {"params": state.g_params, "batch_stats": state.g_batch_stats}
         encode = jax.jit(lambda mel: trainer._music_features(g_vars, mel))
@@ -137,6 +143,29 @@ def main(argv=None) -> None:
             encode, args.data_root, "train", filename="music_feat_m2sgan.npy"
         )
         print(f"feature cache: {n} clips precomputed")
+    if args.cached_sync_latents:
+        from ..data.feature_cache import precompute_sync_latents
+
+        latent = jax.jit(trainer.sync_latent_fn(state.sync_variables))
+        # keyed to THIS stage's (transferred) SyncLoss encoder + window grid
+        n = precompute_sync_latents(
+            latent, args.data_root, "train",
+            sample_length=args.sample_length,
+            filename="sync_latent_m2sgan.npy",
+        )
+        print(f"sync-latent cache: {n} clips precomputed")
+    if args.cached_sync_latents:
+        from ..data.feature_cache import GANCachedDataset
+
+        ds = GANCachedDataset(
+            args.data_root, "train", sample_length=args.sample_length,
+            mode="sequential", limit_hours=args.limit_hours,
+            feature_file="music_feat_m2sgan.npy" if args.cached_features else None,
+            sync_latent_file="sync_latent_m2sgan.npy",
+        )
+    elif args.cached_features:
+        from ..data.feature_cache import FeatureCachedDataset
+
         ds = FeatureCachedDataset(
             args.data_root, "train", sample_length=args.sample_length,
             mode="sequential", limit_hours=args.limit_hours,
@@ -185,8 +214,11 @@ def main(argv=None) -> None:
         )
     it = int(state.step)
     for epoch in range(args.epochs):
-        for mel, motion, _ in loader:
-            state, metrics = trainer.train_step(state, (mel, motion), rng)
+        for batch in loader:
+            # (cond, motion, sync_latents) under --cached_sync_latents;
+            # otherwise (cond, motion[, m_len]) — m_len is a stage-2 concern
+            step_batch = batch if args.cached_sync_latents else (batch[0], batch[1])
+            state, metrics = trainer.train_step(state, step_batch, rng)
             it += 1
             logger.log(it, metrics, epoch=epoch)
         if epoch % args.evaluate_epoch == 0:
@@ -203,7 +235,12 @@ def main(argv=None) -> None:
             # dump (`M2SGAN_eval.py:150-181` via `train_utils.plot_motion`)
             sample = next(iter(loader), None)
             if sample is not None:
-                fake = trainer.generate(state, sample[0][:1], rng)
+                # under --cached_features the loader yields frozen-encoder
+                # features, not mel — generate must take the decode path
+                fake = trainer.generate(
+                    state, sample[0][:1], rng,
+                    from_features=args.cached_features,
+                )
                 logger.log_motion_plot(it, fake, sample[1][:1])
             ckpt.save(it, state, wait=True)
     ckpt.save(it, state, wait=True)

@@ -273,7 +273,8 @@ class BatchIterator:
 
     @staticmethod
     def _collate(samples):
-        mel = np.stack([s[0] for s in samples])
-        motion = np.stack([s[1] for s in samples])
-        m_lens = np.stack([s[2] for s in samples])
-        return mel, motion, m_lens
+        # datasets yield fixed-arity tuples: (mel, motion, m_len) for the
+        # standard readers, (cond, motion[, sync_latents]) for the GAN caches
+        return tuple(
+            np.stack([s[k] for s in samples]) for k in range(len(samples[0]))
+        )

@@ -62,6 +62,68 @@ def precompute_music_features(
     return written
 
 
+SYNC_LATENT_FILE = "sync_latent.npy"
+
+
+def precompute_sync_latents(
+    latent_fn,
+    root: str,
+    split: str = "train",
+    *,
+    sample_length: int,
+    batch_size: int = 8,
+    overwrite: bool = False,
+    filename: str = SYNC_LATENT_FILE,
+    motion_hz: int = 30,
+) -> int:
+    """Run ``latent_fn(motion (B, S*30, 13, 2)) -> (B, S*30, C)`` — the
+    frozen SyncLoss motion encoder — over every sequential
+    ``sample_length``-second window of every clip, writing a
+    ``(n_windows, S*30, C)`` f32 array beside each `motion.npy`.
+
+    Cached PER WINDOW rather than encoded once per clip and sliced: the
+    ST-GCN's temporal convolutions have a receptive field, so latents of a
+    window differ from a window of full-clip latents near the borders; the
+    cache must match exactly what the uncached training step computes on
+    the windowed batch.  Stored f32 regardless of the encoder's compute
+    dtype (numpy cannot serialize bfloat16); a bf16 value round-trips
+    bf16 -> f32 -> bf16 exactly, so the consumer's cast back preserves
+    bit-parity with the uncached path."""
+    clips = scan_split(root, split)
+    todo = [
+        c for c in clips
+        if overwrite
+        or not os.path.exists(
+            os.path.join(os.path.dirname(c.motion_path), filename)
+        )
+    ]
+    hz = motion_hz
+    written = 0
+    for c in todo:
+        n_windows = c.motion_frames // (sample_length * hz)
+        if n_windows == 0:
+            continue
+        mot = np.load(c.motion_path, mmap_mode="r")
+        wins = np.stack([
+            np.asarray(
+                mot[w * sample_length * hz : (w + 1) * sample_length * hz],
+                dtype=np.float32,
+            )
+            for w in range(n_windows)
+        ])
+        lats = []
+        for i in range(0, n_windows, batch_size):
+            lats.append(
+                np.asarray(latent_fn(wins[i : i + batch_size]), dtype=np.float32)
+            )
+        np.save(
+            os.path.join(os.path.dirname(c.motion_path), filename),
+            np.concatenate(lats, axis=0),
+        )
+        written += 1
+    return written
+
+
 class FeatureCachedDataset(ConductorMotionDataset):
     """`ConductorMotionDataset` yielding (features (s*30, C), motion, m_len)
     windows from the cache instead of raw mel.  ``feature_file`` must match
@@ -85,3 +147,47 @@ class FeatureCachedDataset(ConductorMotionDataset):
             np.asarray(mot[f0:f1], dtype=np.float32),
             np.int32(m_len),
         )
+
+
+class GANCachedDataset(ConductorMotionDataset):
+    """The M2SGAN trainer's cached-batch view: yields
+    ``(cond, motion[, sync_latents])`` sequential windows, where ``cond`` is
+    the precomputed frozen music-encoder features (``feature_file`` set) or
+    the raw mel (``feature_file=None``), and ``sync_latents`` is the
+    per-window frozen SyncLoss latent cache (``sync_latent_file`` set;
+    written by `precompute_sync_latents`).  Sequential mode only — the
+    sync-latent cache is indexed by the fixed window grid."""
+
+    def __init__(
+        self,
+        *args,
+        feature_file: str | None = None,
+        sync_latent_file: str | None = None,
+        **kwargs,
+    ):
+        super().__init__(*args, **kwargs)
+        assert self.mode == "sequential", (
+            "GANCachedDataset requires mode='sequential': the sync-latent "
+            "cache is stored on the fixed non-overlapping window grid"
+        )
+        self.feature_file = feature_file
+        self.sync_latent_file = sync_latent_file
+
+    def _load_window(self, clip: ClipIndex, start_sec: int):
+        s = self.spec
+        folder = os.path.dirname(clip.motion_path)
+        mot = np.load(clip.motion_path, mmap_mode="r")
+        p0, p1 = start_sec * s.motion_hz, (start_sec + self.sample_length) * s.motion_hz
+        motion = np.asarray(mot[p0:p1], dtype=np.float32)
+        if self.feature_file is not None:
+            feats = np.load(os.path.join(folder, self.feature_file), mmap_mode="r")
+            cond = np.asarray(feats[p0:p1], dtype=np.float32)
+        else:
+            mel = np.load(clip.mel_path, mmap_mode="r")
+            m0, m1 = start_sec * s.mel_hz, (start_sec + self.sample_length) * s.mel_hz
+            cond = np.asarray(mel[m0:m1], dtype=np.float32)
+        if self.sync_latent_file is None:
+            return cond, motion
+        lats = np.load(os.path.join(folder, self.sync_latent_file), mmap_mode="r")
+        w = start_sec // self.sample_length
+        return cond, motion, np.asarray(lats[w], dtype=np.float32)

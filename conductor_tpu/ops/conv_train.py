@@ -215,26 +215,29 @@ def _conv_bwd(res, dy_flat):
     col0 = dy_flat[:, :, :cout]
     coll = dy_flat[:, :, (f - 1) * cout :]
     # extended border rows u=-1 / u=T (only a=2 / a=0 reach into dy)
-    row_m1 = _freq_conv_row(row0, wflip[2]).reshape(b, f * cin)
-    row_t = _freq_conv_row(rowl, wflip[0]).reshape(b, f * cin)
+    row_m1 = _freq_conv_row(row0, wflip[2])  # (B, F, Cin)
+    row_t = _freq_conv_row(rowl, wflip[0])
     # extended border cols v=-1 / v=F (only b=2 / b=0 reach into dy)
     col_m1 = _time_conv_col(col0, wflip[:, 2])
     col_f = _time_conv_col(coll, wflip[:, 0])
-    # corners: single-tap products
+    # corners (single-tap products), folded into the border-ROW vectors
+    # before they touch dx: the corner targets dx[:, 1, cin:2cin] etc. are
+    # exactly row_m1[:, 1] / row_t[:, f-2] positions, and folding there
+    # keeps the expensive full-array updates at four instead of eight
+    # (each fold add on dx is a separate latency-bound fusion — round-4
+    # profile put the whole fold chain at ~1.5 ms/step)
     c_mm = jnp.einsum("bc,cd->bd", row0[:, 0], wflip[2, 2])
     c_mf = jnp.einsum("bc,cd->bd", row0[:, f - 1], wflip[2, 0])
     c_tm = jnp.einsum("bc,cd->bd", rowl[:, 0], wflip[0, 2])
     c_tf = jnp.einsum("bc,cd->bd", rowl[:, f - 1], wflip[0, 0])
+    row_m1 = row_m1.at[:, 1].add(c_mm).at[:, f - 2].add(c_mf)
+    row_t = row_t.at[:, 1].add(c_tm).at[:, f - 2].add(c_tf)
 
     dx = dx.astype(F32) if dtype != F32 else dx
-    dx = dx.at[:, 1, :].add(row_m1)
-    dx = dx.at[:, t - 2, :].add(row_t)
+    dx = dx.at[:, 1, :].add(row_m1.reshape(b, f * cin))
+    dx = dx.at[:, t - 2, :].add(row_t.reshape(b, f * cin))
     dx = dx.at[:, :, cin : 2 * cin].add(col_m1)
     dx = dx.at[:, :, (f - 2) * cin : (f - 1) * cin].add(col_f)
-    dx = dx.at[:, 1, cin : 2 * cin].add(c_mm)
-    dx = dx.at[:, 1, (f - 2) * cin : (f - 1) * cin].add(c_mf)
-    dx = dx.at[:, t - 2, cin : 2 * cin].add(c_tm)
-    dx = dx.at[:, t - 2, (f - 2) * cin : (f - 1) * cin].add(c_tf)
     dx = dx.astype(dtype)
 
     # ---- d(kernel): three packed lane-full matmuls + offset-eye fold.

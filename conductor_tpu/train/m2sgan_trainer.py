@@ -64,6 +64,7 @@ class M2SGANTrainer:
         train_music_encoder: bool = False,
         music_conv_impl: str = "lax",  # "lax" | "pallas_train" (packed kernels)
         cached_features: bool = False,
+        cached_sync_latents: bool = False,
     ):
         self.sample_length = sample_length
         self.critic_iters = critic_iters
@@ -98,6 +99,16 @@ class M2SGANTrainer:
                 "(train_music_encoder=False): a trainable encoder's output "
                 "changes every update and cannot be precomputed"
             )
+        # Same cache design for the OTHER frozen forward in the step: the
+        # SyncLoss latents of REAL motion (the generator-loss target) depend
+        # only on the data and the frozen M2SNet motion encoder, so the batch
+        # can carry them precomputed — `(cond, real, real_latents)`.  The
+        # fake-side latents (and their d(input) backward) stay on-device
+        # every step, of course.  Cached per WINDOW, not sliced from a
+        # full-clip encode: the ST-GCN's temporal receptive field makes
+        # window-encode != clip-encode-then-slice near window borders
+        # (`data/feature_cache.py:precompute_sync_latents`).
+        self.cached_sync_latents = cached_sync_latents
         self.G = Generator(
             freeze_music_encoder=not train_music_encoder,
             music_conv_impl=music_conv_impl,
@@ -181,7 +192,12 @@ class M2SGANTrainer:
         )
 
     def _train_step_impl(self, state: GANState, batch, rng: jax.Array):
-        mel, real = batch
+        if self.cached_sync_latents:
+            mel, real, rf_cached = batch
+            rf_cached = jax.lax.stop_gradient(rf_cached)
+        else:
+            mel, real = batch
+            rf_cached = None
         B = real.shape[0]
         step_rng = jax.random.fold_in(rng, state.step)
         noise_rng, gp_rng = jax.random.split(step_rng)
@@ -240,7 +256,7 @@ class M2SGANTrainer:
                     method=self.G.decode,
                 )
             adv = -self.D.apply({"params": d_params}, out).mean()
-            sync = self._sync_loss(state.sync_variables, out, real)
+            sync = self._sync_loss(state.sync_variables, out, real, rf_cached)
             mse = ((out - real) ** 2).mean()
             loss = self.w_adv * adv + self.w_sync * sync + self.w_mse * mse
             return loss, (mut["batch_stats"], adv, sync, mse)
@@ -267,11 +283,12 @@ class M2SGANTrainer:
             metrics,
         )
 
-    def _sync_loss(self, sync_vars, fake, real):
-        """L1 between frozen motion-encoder latents (`utils/loss.py:30-46`).
-        Plain __call__ == features()[-1] without the 11 intermediate maps;
-        sync_encoder_impl='pallas' runs the whole frozen ST-GCN as fused
-        fwd/bwd kernels (`ops/pallas_stgcn.py`)."""
+    def sync_latent_fn(self, sync_vars):
+        """motion (B, T30, 13, 2) -> frozen SyncLoss latents (B, T30, 64) —
+        the exact function the in-step rf path runs (so a precomputed cache
+        reproduces the uncached numerics).  sync_encoder_impl='pallas' runs
+        the whole frozen ST-GCN as fused fwd/bwd kernels
+        (`ops/pallas_stgcn.py`)."""
         if self.sync_encoder_impl == "pallas":
             from ..models.graph import build_adjacency
             from ..ops.pallas_stgcn import fused_frozen_stgcn, pack_frozen_stgcn
@@ -281,19 +298,38 @@ class M2SGANTrainer:
                 sync_vars, build_adjacency("ConductorMotionX", "uniform"),
                 mxu_dtype=mx,
             )
-            ff = fused_frozen_stgcn(fake, pack, mx)
-            rf = fused_frozen_stgcn(jax.lax.stop_gradient(real), pack, mx)
-            return jnp.abs(ff - rf).mean()
-        ff = self.sync_encoder.apply(sync_vars, fake)
-        rf = self.sync_encoder.apply(sync_vars, real)
-        return jnp.abs(ff - jax.lax.stop_gradient(rf)).mean()
+            return lambda motion: fused_frozen_stgcn(motion, pack, mx)
+        return lambda motion: self.sync_encoder.apply(sync_vars, motion)
+
+    def _sync_loss(self, sync_vars, fake, real, rf_cached=None):
+        """L1 between frozen motion-encoder latents (`utils/loss.py:30-46`).
+        Plain __call__ == features()[-1] without the 11 intermediate maps.
+        ``rf_cached``: precomputed real-motion latents (cached_sync_latents);
+        the cache stores f32 of whatever the latent fn produced, so casting
+        back to ff's dtype is exact."""
+        latent = self.sync_latent_fn(sync_vars)
+        ff = latent(fake)
+        if rf_cached is not None:
+            rf = rf_cached.astype(ff.dtype)
+        else:
+            rf = jax.lax.stop_gradient(latent(jax.lax.stop_gradient(real)))
+        return jnp.abs(ff - rf).mean()
 
     def train_step(self, state: GANState, batch, rng: jax.Array):
-        """batch = (mel (B, S*90, 128), real_motion (B, S*30, 13, 2))."""
+        """batch = (cond, real_motion (B, S*30, 13, 2)[, real_latents]):
+        cond is mel (B, S*90, 128), or the precomputed frozen-encoder
+        features (B, S*30, 64) under cached_features; real_latents
+        (B, S*30, 64) is required (only) under cached_sync_latents."""
         return self._train_step(state, batch, rng)
 
-    def generate(self, state: GANState, mel: jnp.ndarray, rng: jax.Array):
-        B = mel.shape[0]
+    def generate(self, state: GANState, cond: jnp.ndarray, rng: jax.Array,
+                 *, from_features: bool = False):
+        """cond = mel (B, S*90, 128), or precomputed frozen-encoder features
+        (B, S*30, 64) with ``from_features=True`` (the cached-features
+        training loop's plotting path hands those)."""
+        B = cond.shape[0]
         noise = jax.random.normal(rng, (B, self.sample_length, self.noise_dim))
         g_vars = {"params": state.g_params, "batch_stats": state.g_batch_stats}
-        return self.G.apply(g_vars, mel, noise, False)
+        if from_features:
+            return self.G.apply(g_vars, cond, noise, False, method=self.G.decode)
+        return self.G.apply(g_vars, cond, noise, False)

@@ -189,11 +189,15 @@ def bench_m2sgan(results: list[dict]) -> None:
     mel = jax.random.uniform(rng, (B, 30 * 90, 128))
     motion = jax.random.uniform(rng, (B, 30 * 30, 13, 2))
 
-    for cached, tag in ((False, ""), (True, "_cached")):
+    for cached, cached_sync, tag in (
+        (False, False, ""),
+        (True, False, "_cached"),
+        (True, True, "_cached_sync"),
+    ):
         trainer = M2SGANTrainer(
             sample_length=30, music_encoder_impl="pallas",
             sync_encoder_dtype="bfloat16", sync_encoder_impl="pallas",
-            cached_features=cached,
+            cached_features=cached, cached_sync_latents=cached_sync,
         )
         state = trainer.init_state(rng)
         if cached:  # precomputed frozen-encoder features replace the mel
@@ -202,11 +206,15 @@ def bench_m2sgan(results: list[dict]) -> None:
             cond = jax.jit(lambda m: trainer._music_features(g_vars, m))(mel)
         else:
             cond = mel
+        batch = (cond, motion)
+        if cached_sync:  # precomputed real-motion SyncLoss latents (f32 cache)
+            lat = jax.jit(trainer.sync_latent_fn(state.sync_variables))(motion)
+            batch = (cond, motion, lat.astype(jnp.float32))
         holder = {"state": state}
 
         def step():
             holder["state"], metrics = trainer.train_step(
-                holder["state"], (cond, motion), rng
+                holder["state"], batch, rng
             )
             return metrics["w_distance"]
 

@@ -272,6 +272,33 @@ class TestStage1GANCLI:
             records = [json.loads(l) for l in f]
         assert max(r["step"] for r in records) > steps1
 
+    def test_m2sgan_cli_cached_paths(self, synth_root, tmp_path_factory):
+        """--cached_features + --cached_sync_latents: both precompute passes
+        run, the cached dataset feeds (features, motion, latents) batches,
+        and the periodic eval + motion plot (the generate-from-features
+        path) complete."""
+        from conductor_tpu.cli.train_m2sgan import main as m2sgan_main
+
+        ckpts = str(tmp_path_factory.mktemp("ckpts_gan_cached"))
+        m2sgan_main([
+            "--data_root", synth_root, "--checkpoints_dir", ckpts,
+            "--batch_size", "4", "--sample_length", "6", "--critic_iters", "1",
+            "--evaluate_epoch", "1", "--eval_batches", "1", "--no_eval_beats",
+            "--cached_features", "--cached_sync_latents", "--epochs", "1",
+        ])
+        run = os.path.join(ckpts, "M2SGAN", "M2SGAN")
+        with open(os.path.join(run, "metrics.jsonl")) as f:
+            records = [json.loads(l) for l in f]
+        keys = set().union(*(set(r) for r in records))
+        assert {"w_distance", "loss_sync", "FGD"} <= keys
+        assert all(
+            np.isfinite(r["w_distance"]) for r in records if "w_distance" in r
+        )
+        # both cache files landed beside the data
+        clip0 = os.path.join(synth_root, "train", "0")
+        assert os.path.exists(os.path.join(clip0, "music_feat_m2sgan.npy"))
+        assert os.path.exists(os.path.join(clip0, "sync_latent_m2sgan.npy"))
+
 
 class TestPreemptionSafety:
     def test_sigterm_saves_and_exits(self, synth_root, tmp_path_factory):

@@ -88,3 +88,82 @@ def test_precompute_skips_existing(env):
     root, cfg, trainer, state = env
     n = precompute_music_features(lambda mel: 0, root, "train")
     assert n == 0  # all cached already
+
+
+class TestSyncLatentCache:
+    """Per-window frozen SyncLoss latent cache (M2SGAN cached_sync_latents)."""
+
+    def _latent_fn(self, motion):
+        # a stand-in encoder with an unbounded temporal receptive field
+        # (cumsum): window-encode != clip-encode-then-slice, so the test
+        # distinguishes per-window caching from naive clip slicing
+        x = np.asarray(motion).reshape(motion.shape[0], motion.shape[1], -1)
+        return np.cumsum(x[..., :4], axis=1, dtype=np.float32)
+
+    @pytest.fixture()
+    def root(self, tmp_path):
+        root = str(tmp_path / "cm100")
+        make_synthetic_dataset(root, "train", num_clips=2)
+        return root
+
+    def test_cache_is_per_window(self, root):
+        from conductor_tpu.data.feature_cache import (
+            GANCachedDataset,
+            precompute_sync_latents,
+        )
+
+        n = precompute_sync_latents(
+            self._latent_fn, root, "train", sample_length=10, batch_size=4
+        )
+        assert n == 2
+        ds = GANCachedDataset(
+            root, "train", sample_length=10, mode="sequential",
+            sync_latent_file="sync_latent.npy",
+        )
+        assert len(ds) == 2 * 6  # 60-s clips, 10-s windows
+        cond, motion, lat = ds[1]  # clip 0, window 1
+        assert cond.shape == (10 * 90, 128)  # raw mel (feature_file=None)
+        assert motion.shape == (10 * 30, 13, 2)
+        # the cached latents are the WINDOW's encode ...
+        np.testing.assert_allclose(lat, self._latent_fn(motion[None])[0],
+                                   rtol=1e-6)
+        # ... which, with a receptive field crossing the border, is NOT a
+        # slice of the full-clip encode
+        raw = ConductorMotionDataset(root, "train", sample_length=60,
+                                     mode="sequential")
+        full_motion = raw[0][1]
+        clip_sliced = self._latent_fn(full_motion[None])[0][300:600]
+        assert np.abs(lat - clip_sliced).max() > 1e-3
+
+        n = precompute_sync_latents(
+            self._latent_fn, root, "train", sample_length=10
+        )
+        assert n == 0  # skips existing
+
+    def test_with_feature_cache(self, root, env):
+        """Both caches together: (features, motion, latents) batches."""
+        from conductor_tpu.data.feature_cache import (
+            GANCachedDataset,
+            precompute_music_features,
+            precompute_sync_latents,
+        )
+
+        _, _, trainer, state = env
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        encode = jax.jit(
+            lambda mel: trainer.model.apply(
+                variables, mel, method=trainer.model.encode_music
+            )[1]
+        )
+        precompute_music_features(encode, root, "train", batch_size=2)
+        precompute_sync_latents(self._latent_fn, root, "train", sample_length=10)
+        ds = GANCachedDataset(
+            root, "train", sample_length=10, mode="sequential",
+            feature_file="music_feat.npy", sync_latent_file="sync_latent.npy",
+        )
+        batch = BatchIterator(ds, 2, shuffle=False).__iter__().__next__()
+        assert len(batch) == 3
+        feats, motion, lat = batch
+        assert feats.shape == (2, 300, trainer.model.music_latent_dim)
+        assert motion.shape == (2, 300, 13, 2)
+        assert lat.shape == (2, 300, 4)

@@ -344,3 +344,51 @@ class TestM2SGANTrainer:
 
         with _pytest.raises(ValueError):
             M2SGANTrainer(cached_features=True, train_music_encoder=True)
+
+    def test_cached_sync_latents_step_matches_uncached(self, rng):
+        """`cached_sync_latents=True` feeds precomputed frozen SyncLoss
+        latents of the REAL motion (the other data-deterministic frozen
+        forward in the step, r4); with the cache produced by the trainer's
+        own `sync_latent_fn` the step must reproduce the uncached metrics
+        and generator update to float tolerance."""
+        mel = jax.random.uniform(rng, (2, 6 * 90, 128))
+        real = jax.random.uniform(jax.random.fold_in(rng, 1), (2, 180, 13, 2))
+
+        ref = M2SGANTrainer(sample_length=6, critic_iters=2)
+        cached = M2SGANTrainer(sample_length=6, critic_iters=2,
+                               cached_sync_latents=True)
+        s_ref = ref.init_state(rng)
+        s_cached = cached.init_state(rng)
+        # the cache stores f32 of the latent fn's output (numpy cannot hold
+        # bf16) — replicate that round trip here
+        lat = jnp.asarray(np.asarray(
+            ref.sync_latent_fn(s_ref.sync_variables)(real), np.float32
+        ))
+
+        s_ref, m_ref = ref.train_step(s_ref, (mel, real), rng)
+        s_cached, m_cached = cached.train_step(s_cached, (mel, real, lat), rng)
+        for k in m_ref:
+            np.testing.assert_allclose(
+                float(m_cached[k]), float(m_ref[k]), rtol=1e-5, atol=1e-6,
+            )
+        la = jax.tree_util.tree_leaves(s_ref.g_params)
+        lb = jax.tree_util.tree_leaves(s_cached.g_params)
+        for a, b in zip(la, lb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_generate_from_features_matches_full(self, rng):
+        """`generate(..., from_features=True)` (the cached-features training
+        loop's plotting path) equals the full mel path given that path's own
+        frozen-encoder output.  Regression: the CLI used to hand cached
+        features to the raw-mel entry point, which crashes on shape."""
+        trainer = M2SGANTrainer(sample_length=6)
+        state = trainer.init_state(rng)
+        mel = jax.random.uniform(rng, (2, 6 * 90, 128))
+        g_vars = {"params": state.g_params, "batch_stats": state.g_batch_stats}
+        feats = trainer._music_features(g_vars, mel)
+        full = trainer.generate(state, mel, rng)
+        from_feats = trainer.generate(state, feats, rng, from_features=True)
+        np.testing.assert_allclose(
+            np.asarray(from_feats), np.asarray(full), rtol=1e-6, atol=1e-7
+        )
