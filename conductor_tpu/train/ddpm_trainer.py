@@ -124,6 +124,7 @@ class DDPMTrainer:
         )
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._generate_cache: dict = {}
+        self._feat_pack_cache = None
 
     # ------------------------------------------------------------------ init
 
@@ -180,7 +181,7 @@ class DDPMTrainer:
 
     # ------------------------------------------------------------- train step
 
-    def _losses(self, params, state: TrainState, batch, t, rng):
+    def _losses(self, params, state: TrainState, batch, t, rng, feat_pack=None):
         """The 5-term objective (`backward_G`, `ddpm_trainer.py:223-258`)."""
         mel, motion, m_lens = batch
         B, T = motion.shape[0], motion.shape[1]
@@ -239,15 +240,14 @@ class DDPMTrainer:
         if tcfg.lambda_feat == 0.0:
             loss_feat = jnp.zeros(())
         elif tcfg.feat_impl == "pallas":
-            # frozen encoder as single fused fwd/bwd kernels
-            from ..models.graph import build_adjacency
-            from ..ops.pallas_stgcn import fused_frozen_stgcn, pack_frozen_stgcn
+            # frozen encoder as single fused fwd/bwd kernels; the packed
+            # weights arrive precomputed (`_feat_pack`) — packing them here
+            # would re-run the constant 10-block einsum/tile/update-slice
+            # chain inside every jitted step (round-4 stage-2 profile:
+            # the step's dynamic-update-slice tail)
+            from ..ops.pallas_stgcn import fused_frozen_stgcn
 
-            pack = pack_frozen_stgcn(
-                state.feat_variables,
-                build_adjacency("ConductorMotionX", "uniform"),
-                mxu_dtype=jnp.dtype(self.cfg.denoiser.compute_dtype),
-            )
+            pack = feat_pack
             mx = jnp.dtype(self.cfg.denoiser.compute_dtype)
             feat_fake = fused_frozen_stgcn(pred.reshape(B, T, J, 2), pack, mx)
             feat_real = fused_frozen_stgcn(
@@ -291,7 +291,8 @@ class DDPMTrainer:
         }
         return loss, metrics
 
-    def _train_step_impl(self, state: TrainState, batch, rng: jax.Array):
+    def _train_step_impl(self, state: TrainState, batch, rng: jax.Array,
+                         feat_pack=None):
         t_rng, loss_rng = jax.random.split(jax.random.fold_in(rng, state.step))
         B = batch[1].shape[0]
         if state.sampler_state is not None:
@@ -300,7 +301,8 @@ class DDPMTrainer:
             t, weights = ts.uniform_sample(t_rng, self.sched.num_timesteps, B)
 
         grads, metrics = jax.grad(
-            lambda p: self._losses(p, state, batch, t, loss_rng), has_aux=True
+            lambda p: self._losses(p, state, batch, t, loss_rng, feat_pack),
+            has_aux=True,
         )(state.params)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -321,10 +323,38 @@ class DDPMTrainer:
             metrics,
         )
 
+    def _feat_pack(self, state: TrainState):
+        """Packed frozen ST-GCN weights for the Pallas perceptual path,
+        built ONCE outside the jitted step: the encoder is frozen, so the
+        packing (10 blocks of einsum/tile/update-slice) is constant across
+        steps — inside the jit it re-ran every step as a latency-bound
+        dynamic-update-slice chain (round-4 stage-2 profile).  Rebuilt only
+        when the cache is empty; a checkpoint restore before the first step
+        (the supported flow) is therefore picked up, a mid-run swap of
+        ``feat_variables`` needs `reset_caches()`."""
+        if (self.cfg.train.lambda_feat == 0.0
+                or self.cfg.train.feat_impl != "pallas"):
+            return None
+        if self._feat_pack_cache is None:
+            from ..models.graph import build_adjacency
+            from ..ops.pallas_stgcn import pack_frozen_stgcn
+
+            self._feat_pack_cache = pack_frozen_stgcn(
+                state.feat_variables,
+                build_adjacency("ConductorMotionX", "uniform"),
+                mxu_dtype=jnp.dtype(self.cfg.denoiser.compute_dtype),
+            )
+        return self._feat_pack_cache
+
+    def reset_caches(self) -> None:
+        """Drop derived-weight caches (packed frozen encoders).  Call after
+        swapping frozen subtrees on an already-stepped trainer."""
+        self._feat_pack_cache = None
+
     def train_step(self, state: TrainState, batch, rng: jax.Array):
         """One jitted optimizer step.  ``batch = (mel, motion, m_lens)`` with
         mel (B, T90, 128), motion (B, T30, J, 2), m_lens (B,) int32."""
-        return self._train_step(state, batch, rng)
+        return self._train_step(state, batch, rng, self._feat_pack(state))
 
     # -------------------------------------------------------------- sampling
 

@@ -76,14 +76,15 @@ def pack_layer_weights(params, layer: int, cfg: Config):
 
 
 def expand_block_diag(kv: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, Dh, Dh) cross-KV state -> (B, H*Dh, H*Dh) block diagonal."""
+    """(B, H, Dh, Dh) cross-KV state -> (B, H*Dh, H*Dh) block diagonal.
+
+    Built as one eye-masked broadcast (block (i, j) = kv[h] iff i == j == h)
+    rather than H `.at[].set` updates: the functional updates lowered to a
+    per-layer dynamic-update-slice chain in BOTH the training forward and
+    its transpose — the round-4 stage-2 profile's latency-bound DUS tail."""
     b, h, dh, _ = kv.shape
-    out = jnp.zeros((b, h * dh, h * dh), kv.dtype)
-    for i in range(h):
-        out = out.at[:, i * dh : (i + 1) * dh, i * dh : (i + 1) * dh].set(
-            kv[:, i]
-        )
-    return out
+    eye = jnp.eye(h, dtype=kv.dtype)
+    return jnp.einsum("bhpq,hg->bhpgq", kv, eye).reshape(b, h * dh, h * dh)
 
 
 class FusedDenoiser:

@@ -121,6 +121,7 @@ class M2SGANTrainer:
         self.g_tx = optax.rmsprop(lr, decay=0.99, eps=1e-8)
         self.d_tx = optax.rmsprop(lr, decay=0.99, eps=1e-8)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._sync_pack_cache = None
 
     def init_state(
         self,
@@ -191,7 +192,8 @@ class M2SGANTrainer:
             self.G.apply(g_vars, mel, method=self.G.encode_music)
         )
 
-    def _train_step_impl(self, state: GANState, batch, rng: jax.Array):
+    def _train_step_impl(self, state: GANState, batch, rng: jax.Array,
+                         sync_pack=None):
         if self.cached_sync_latents:
             mel, real, rf_cached = batch
             rf_cached = jax.lax.stop_gradient(rf_cached)
@@ -256,7 +258,9 @@ class M2SGANTrainer:
                     method=self.G.decode,
                 )
             adv = -self.D.apply({"params": d_params}, out).mean()
-            sync = self._sync_loss(state.sync_variables, out, real, rf_cached)
+            sync = self._sync_loss(
+                state.sync_variables, out, real, rf_cached, sync_pack
+            )
             mse = ((out - real) ** 2).mean()
             loss = self.w_adv * adv + self.w_sync * sync + self.w_mse * mse
             return loss, (mut["batch_stats"], adv, sync, mse)
@@ -283,31 +287,58 @@ class M2SGANTrainer:
             metrics,
         )
 
-    def sync_latent_fn(self, sync_vars):
+    def sync_latent_fn(self, sync_vars, pack=None):
         """motion (B, T30, 13, 2) -> frozen SyncLoss latents (B, T30, 64) —
         the exact function the in-step rf path runs (so a precomputed cache
         reproduces the uncached numerics).  sync_encoder_impl='pallas' runs
         the whole frozen ST-GCN as fused fwd/bwd kernels
-        (`ops/pallas_stgcn.py`)."""
+        (`ops/pallas_stgcn.py`); ``pack`` supplies prebuilt packed weights
+        (the jitted step hands the hoisted `_sync_pack`), else they are
+        packed here."""
         if self.sync_encoder_impl == "pallas":
             from ..models.graph import build_adjacency
             from ..ops.pallas_stgcn import fused_frozen_stgcn, pack_frozen_stgcn
 
             mx = jnp.dtype(self.sync_encoder.dtype)
-            pack = pack_frozen_stgcn(
-                sync_vars, build_adjacency("ConductorMotionX", "uniform"),
-                mxu_dtype=mx,
-            )
+            if pack is None:
+                pack = pack_frozen_stgcn(
+                    sync_vars, build_adjacency("ConductorMotionX", "uniform"),
+                    mxu_dtype=mx,
+                )
             return lambda motion: fused_frozen_stgcn(motion, pack, mx)
         return lambda motion: self.sync_encoder.apply(sync_vars, motion)
 
-    def _sync_loss(self, sync_vars, fake, real, rf_cached=None):
+    def _sync_pack(self, state: GANState):
+        """Packed frozen SyncLoss ST-GCN weights, built ONCE outside the
+        jitted step (same hoist as `DDPMTrainer._feat_pack`: the encoder is
+        frozen, so packing inside the jit re-ran a constant
+        einsum/tile/update-slice chain every step).  Mid-run swaps of
+        ``sync_variables`` need `reset_caches()`."""
+        if self.sync_encoder_impl != "pallas":
+            return None
+        if self._sync_pack_cache is None:
+            from ..models.graph import build_adjacency
+            from ..ops.pallas_stgcn import pack_frozen_stgcn
+
+            self._sync_pack_cache = pack_frozen_stgcn(
+                state.sync_variables,
+                build_adjacency("ConductorMotionX", "uniform"),
+                mxu_dtype=jnp.dtype(self.sync_encoder.dtype),
+            )
+        return self._sync_pack_cache
+
+    def reset_caches(self) -> None:
+        """Drop derived-weight caches (packed frozen encoders).  Call after
+        swapping frozen subtrees on an already-stepped trainer."""
+        self._sync_pack_cache = None
+
+    def _sync_loss(self, sync_vars, fake, real, rf_cached=None, pack=None):
         """L1 between frozen motion-encoder latents (`utils/loss.py:30-46`).
         Plain __call__ == features()[-1] without the 11 intermediate maps.
         ``rf_cached``: precomputed real-motion latents (cached_sync_latents);
         the cache stores f32 of whatever the latent fn produced, so casting
         back to ff's dtype is exact."""
-        latent = self.sync_latent_fn(sync_vars)
+        latent = self.sync_latent_fn(sync_vars, pack)
         ff = latent(fake)
         if rf_cached is not None:
             rf = rf_cached.astype(ff.dtype)
@@ -320,7 +351,7 @@ class M2SGANTrainer:
         cond is mel (B, S*90, 128), or the precomputed frozen-encoder
         features (B, S*30, 64) under cached_features; real_latents
         (B, S*30, 64) is required (only) under cached_sync_latents."""
-        return self._train_step(state, batch, rng)
+        return self._train_step(state, batch, rng, self._sync_pack(state))
 
     def generate(self, state: GANState, cond: jnp.ndarray, rng: jax.Array,
                  *, from_features: bool = False):
