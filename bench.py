@@ -45,6 +45,7 @@ def main() -> None:
             compute_dtype="bfloat16",
             layer_impl="pallas_fused",
             sampler_adaln_int8=True,
+            music_encoder_impl="pallas",
         )
     )
     trainer = DDPMTrainer(cfg)

@@ -73,6 +73,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--cached_features", action="store_true",
                    help="precompute frozen music-encoder features once and "
                         "train from the cache (numerically identical, ~2x step)")
+    p.add_argument("--overwrite_cache", action="store_true",
+                   help="recompute the on-disk feature cache even if present; "
+                        "required when it was written under different frozen "
+                        "weights (the sidecar metadata check refuses a silent "
+                        "mismatch)")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (replaces the reference's "
                         "always-on anomaly detection, `tools/train.py:38`)")
@@ -140,6 +145,7 @@ def main(argv=None) -> None:
     ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
     if args.is_continue and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
+        trainer.reset_caches()  # frozen subtrees may differ from init
         print(f"resumed from step {int(state.step)}")
 
     n_dev = len(jax.devices())
@@ -153,7 +159,11 @@ def main(argv=None) -> None:
     print(f"devices: {n_dev}; mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
     if args.cached_features:
-        from ..data.feature_cache import FeatureCachedDataset, precompute_music_features
+        from ..data.feature_cache import (
+            FeatureCachedDataset,
+            precompute_music_features,
+            tree_fingerprint,
+        )
 
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         encode = jax.jit(
@@ -161,7 +171,19 @@ def main(argv=None) -> None:
                 variables, mel, method=trainer.model.encode_music
             )[1]
         )
-        n = precompute_music_features(encode, args.data_root, "train")
+        # sidecar keyed to the exact frozen encoder weights: a cache from a
+        # different --stage1_ckpt or init seed has identical shapes, so
+        # nothing downstream would error on a silent mismatch
+        n = precompute_music_features(
+            encode, args.data_root, "train",
+            overwrite=args.overwrite_cache,
+            meta={
+                "fingerprint": tree_fingerprint({
+                    "params": state.params["music_encoder"],
+                    "batch_stats": state.batch_stats["music_encoder"],
+                }),
+            },
+        )
         print(f"feature cache: {n} clips precomputed")
         ds = FeatureCachedDataset(
             args.data_root, "train", sample_length=cfg.train.sample_length,

@@ -85,6 +85,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "generator step (round-4 NOTES profile: ~ half the "
                         "SyncLoss ST-GCN cost); fake-side latents and their "
                         "backward stay on-device")
+    p.add_argument("--overwrite_cache", action="store_true",
+                   help="recompute the on-disk feature/sync-latent caches "
+                        "even if present; required when the run dir's caches "
+                        "were written under different frozen weights or "
+                        "settings (the sidecar metadata check refuses a "
+                        "silent mismatch)")
     return p
 
 
@@ -130,21 +136,33 @@ def main(argv=None) -> None:
     ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
     if args.is_continue and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
+        trainer.reset_caches()  # frozen subtrees may differ from init
         print(f"resumed from step {int(state.step)}")
 
     if args.cached_features:
-        from ..data.feature_cache import precompute_music_features
+        from ..data.feature_cache import precompute_music_features, tree_fingerprint
 
         g_vars = {"params": state.g_params, "batch_stats": state.g_batch_stats}
         encode = jax.jit(lambda mel: trainer._music_features(g_vars, mel))
         # cache keyed to THIS stage's transferred encoder — a separate file
-        # from stage-2's grafted-encoder cache on the same data root
+        # from stage-2's grafted-encoder cache on the same data root — and to
+        # the exact frozen weights + encoder impl via the sidecar metadata
+        # (a cache from a different --m2snet_ckpt / init seed has identical
+        # shapes, so nothing downstream would error on a silent mismatch)
         n = precompute_music_features(
-            encode, args.data_root, "train", filename="music_feat_m2sgan.npy"
+            encode, args.data_root, "train", filename="music_feat_m2sgan.npy",
+            overwrite=args.overwrite_cache,
+            meta={
+                "fingerprint": tree_fingerprint({
+                    "params": g_vars["params"]["music_encoder"],
+                    "batch_stats": g_vars["batch_stats"]["music_encoder"],
+                }),
+                "music_encoder_impl": args.music_encoder_impl,
+            },
         )
         print(f"feature cache: {n} clips precomputed")
     if args.cached_sync_latents:
-        from ..data.feature_cache import precompute_sync_latents
+        from ..data.feature_cache import precompute_sync_latents, tree_fingerprint
 
         latent = jax.jit(trainer.sync_latent_fn(state.sync_variables))
         # keyed to THIS stage's (transferred) SyncLoss encoder + window grid
@@ -152,6 +170,13 @@ def main(argv=None) -> None:
             latent, args.data_root, "train",
             sample_length=args.sample_length,
             filename="sync_latent_m2sgan.npy",
+            overwrite=args.overwrite_cache,
+            meta={
+                "fingerprint": tree_fingerprint(state.sync_variables),
+                "sample_length": args.sample_length,
+                "sync_encoder_dtype": args.sync_encoder_dtype,
+                "sync_encoder_impl": args.sync_encoder_impl,
+            },
         )
         print(f"sync-latent cache: {n} clips precomputed")
     if args.cached_sync_latents:

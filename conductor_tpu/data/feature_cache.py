@@ -13,6 +13,8 @@ trainable `proj` happen after the cache boundary
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 
 import jax
@@ -23,6 +25,77 @@ from .dataset import ClipIndex, ConductorMotionDataset, scan_split
 FEATURE_FILE = "music_feat.npy"
 
 
+def tree_fingerprint(tree) -> str:
+    """Stable content hash of a variable pytree (structure + leaf bytes).
+    Used to key on-disk feature caches to the exact frozen weights that
+    produced them — two runs with different checkpoints/init seeds yield
+    same-shaped caches, so a shape check cannot catch a mismatch."""
+    h = hashlib.sha256()
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    h.update(repr(treedef).encode())
+    for leaf in leaves:
+        arr = np.asarray(leaf)
+        h.update(str(arr.shape).encode())
+        h.update(str(arr.dtype).encode())
+        h.update(np.ascontiguousarray(arr).tobytes())
+    return h.hexdigest()[:32]
+
+
+def _meta_path(root: str, split: str, filename: str) -> str:
+    return os.path.join(root, split, f".{filename}.meta.json")
+
+
+def _resolve_meta(
+    root: str, split: str, filename: str, meta: dict | None,
+    overwrite: bool, clips: list[ClipIndex], cache_dir_of,
+) -> bool:
+    """Validate the cache's sidecar metadata against ``meta``; returns the
+    effective ``overwrite``.  Rules:
+
+    - ``meta=None``: provenance checking disabled (library callers that
+      manage keying themselves); behave as before.
+    - sidecar present and equal to ``meta``: reuse (fill missing files only).
+    - sidecar present but different, or absent while cache files exist
+      (pre-sidecar or foreign cache): raise unless ``overwrite`` — a silent
+      reuse would train against latents computed under the wrong frozen
+      weights (same shapes, no error anywhere downstream).
+
+    The sidecar is written up front, so a run interrupted mid-precompute
+    resumes (matching meta -> fill missing) instead of erroring."""
+    if meta is None:
+        return overwrite
+    mp = _meta_path(root, split, filename)
+    if not overwrite:
+        if os.path.exists(mp):
+            with open(mp) as f:
+                old = json.load(f)
+            if old != meta:
+                diff = {
+                    k: (old.get(k), meta.get(k))
+                    for k in set(old) | set(meta)
+                    if old.get(k) != meta.get(k)
+                }
+                raise ValueError(
+                    f"feature cache '{filename}' under {root}/{split} was "
+                    f"precomputed with different settings {diff}; pass "
+                    "overwrite=True (CLI: --overwrite_cache) to recompute"
+                )
+        elif any(
+            os.path.exists(os.path.join(cache_dir_of(c), filename))
+            for c in clips
+        ):
+            raise ValueError(
+                f"feature cache '{filename}' under {root}/{split} has no "
+                "provenance sidecar (predates cache keying, or was written "
+                "by another tool); pass overwrite=True (CLI: "
+                "--overwrite_cache) to recompute it under the current "
+                "frozen weights"
+            )
+    with open(mp, "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+    return overwrite
+
+
 def precompute_music_features(
     encode_fn,
     root: str,
@@ -31,13 +104,21 @@ def precompute_music_features(
     batch_size: int = 8,
     overwrite: bool = False,
     filename: str = FEATURE_FILE,
+    meta: dict | None = None,
 ) -> int:
     """Run ``encode_fn(mel (B, T90, 128)) -> (B, T30, C)`` over every clip of
     a split, writing ``filename`` beside each `mel.npy`.  Returns the number
     of clips written.  Clips are batched by equal length.  ``filename``
     separates caches keyed to DIFFERENT frozen encoders sharing one data
-    root (stage-2's grafted encoder vs the GAN stage's transferred one)."""
+    root (stage-2's grafted encoder vs the GAN stage's transferred one);
+    ``meta`` (include `tree_fingerprint` of the frozen encoder) is validated
+    against the split's sidecar so a cache computed under other weights is
+    never silently reused."""
     clips = scan_split(root, split)
+    overwrite = _resolve_meta(
+        root, split, filename, meta, overwrite, clips,
+        lambda c: os.path.dirname(c.mel_path),
+    )
     todo = [
         c for c in clips
         if overwrite
@@ -75,6 +156,7 @@ def precompute_sync_latents(
     overwrite: bool = False,
     filename: str = SYNC_LATENT_FILE,
     motion_hz: int = 30,
+    meta: dict | None = None,
 ) -> int:
     """Run ``latent_fn(motion (B, S*30, 13, 2)) -> (B, S*30, C)`` — the
     frozen SyncLoss motion encoder — over every sequential
@@ -88,8 +170,17 @@ def precompute_sync_latents(
     the windowed batch.  Stored f32 regardless of the encoder's compute
     dtype (numpy cannot serialize bfloat16); a bf16 value round-trips
     bf16 -> f32 -> bf16 exactly, so the consumer's cast back preserves
-    bit-parity with the uncached path."""
+    bit-parity with the uncached path.
+
+    ``meta`` (include `tree_fingerprint` of the frozen encoder plus
+    sample_length/dtype) is validated against the split's sidecar so a cache
+    computed under other weights or another window grid is never silently
+    reused."""
     clips = scan_split(root, split)
+    overwrite = _resolve_meta(
+        root, split, filename, meta, overwrite, clips,
+        lambda c: os.path.dirname(c.motion_path),
+    )
     todo = [
         c for c in clips
         if overwrite

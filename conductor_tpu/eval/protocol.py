@@ -156,11 +156,15 @@ class EvaluationProtocol:
         cfg = self.cfg
         try:
             sig = inspect.signature(batches_fn)
-            takes_rep = bool(sig.parameters) and all(
-                p.default is not inspect.Parameter.empty
-                or p.kind in (inspect.Parameter.POSITIONAL_ONLY,
-                              inspect.Parameter.POSITIONAL_OR_KEYWORD)
-                for p in list(sig.parameters.values())[:1]
+            # rep is passed POSITIONALLY, so the first parameter must itself
+            # be positional-capable — a keyword-only first parameter (even
+            # one with a default) cannot receive it and means "no rep arg"
+            takes_rep = bool(sig.parameters) and next(
+                iter(sig.parameters.values())
+            ).kind in (
+                inspect.Parameter.POSITIONAL_ONLY,
+                inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                inspect.Parameter.VAR_POSITIONAL,
             )
         except (TypeError, ValueError):
             takes_rep = False

@@ -121,62 +121,27 @@ def stack_time_tiles(x2, tile, nt, *, edge):
     )
 
 
-def split_time_tiles(x2, tile, *, edge):
-    """(B, T, L) with tile | T -> (main (B, nt, tile, L), halo (B, nt, 2, L)).
-
-    The MATERIALIZED overlapping-window stack (`stack_time_tiles`) copied
-    the whole activation once per conv and XLA lowered the window stack to
-    a storm of tiny dynamic-update-slices (measured 1.8-14 GB/s — the
-    dominant non-kernel cost of the packed M2SNet step, round-4 profile in
-    NOTES.md).  ``main`` here is a pure dimension-split reshape (bitcast,
-    no copy); only the 2 halo rows per tile move: halo[:, j, 0] is global
-    row j*tile-1 and halo[:, j, 1] is row (j+1)*tile, with the clip edge
-    rows reflected (x[1] / x[T-2]) or zero.  The kernel re-assembles the
-    (tile+2)-row window in-register with one concatenate."""
-    b, t, length = x2.shape
-    nt = t // tile
-    assert nt * tile == t, (t, tile)
-    main = x2.reshape(b, nt, tile, length)
-    if edge == "reflect":
-        e_top = x2[:, 1:2]
-        e_bot = x2[:, t - 2 : t - 1]
-    else:
-        e_top = jnp.zeros_like(x2[:, :1])
-        e_bot = e_top
-    top = jnp.concatenate([e_top, main[:, :-1, -1]], axis=1)     # (B, nt, L)
-    bottom = jnp.concatenate([main[:, 1:, 0], e_bot], axis=1)    # (B, nt, L)
-    halo = jnp.stack([top, bottom], axis=2)                      # (B, nt, 2, L)
-    return main, halo
-
-
 def _conv_kernel(
-    xt_ref, halo_ref, wbig_ref, scale_ref, bias_ref, resw_ref, rs_ref, rb_ref,
+    xt_ref, wbig_ref, scale_ref, bias_ref, resw_ref, rs_ref, rb_ref,
     o_ref, *, tile: int, fb: int, g: int, cin: int, cout: int,
     res_mode: int, mxu_dtype, pool=None, t_valid: int = 0,
     relu: bool = True, edge: str = "reflect", fb_squeezed: bool = False,
-    pre_haloed: bool = False,
 ):
-    # --- T halo: the pool path pre-stacks overlapping (tile+2)-row windows
-    # (windows overlap by more than the conv's +-1 there); all other paths
-    # read the zero-copy main tile plus the 2-row halo tensor
-    # (`split_time_tiles`) and assemble the window here, in-register.
+    # --- T halo: every caller pre-stacks overlapping (tile+2)-row windows
+    # (`stack_time_tiles`, or the pool path's wider windows) — one DMA per
+    # block.  A zero-copy main + 2-row halo split was measured SLOWER here
+    # (round-4 NOTES: 36.5 -> 39.3 ms M2SNet step) and deleted; the split
+    # idea survives only where the stacked alternative is an overlapping
+    # scatter-add (the pool backward keeps its own copy, `pallas_pool.py`
+    # `_pool_split`).
     if fb_squeezed:
         # FB == 1 carried as a real array axis gives the operands a (1, 128)
         # trailing tile -> T(2,128) layout with half the sublanes padding
         # (and a squeeze-as-reduce on the output); the caller drops the axis
         # and the kernel re-expands it in-register for free.
-        if pre_haloed:
-            xb = xt_ref[0, 0].reshape(tile + 2, 1, g * cin)
-        else:
-            h = halo_ref[0, 0]                    # (2, g*cin)
-            xb = jnp.concatenate(
-                [h[0:1], xt_ref[0, 0], h[1:2]], axis=0
-            ).reshape(tile + 2, 1, g * cin)
-    elif pre_haloed:
-        xb = xt_ref[0, 0]  # (tile+2, fb, g*cin)
+        xb = xt_ref[0, 0].reshape(tile + 2, 1, g * cin)
     else:
-        h = halo_ref[0, 0]                        # (2, fb, g*cin)
-        xb = jnp.concatenate([h[0:1], xt_ref[0, 0], h[1:2]], axis=0)
+        xb = xt_ref[0, 0]  # (tile+2, fb, g*cin)
     z = _halo_assemble(xb, fb=fb, g=g, cin=cin, edge=edge, mxu_dtype=mxu_dtype)
 
     # --- the three time-shift matmuls
@@ -275,16 +240,13 @@ def fused_conv_block(
         rs_l = jnp.zeros((1, g * cout), F32)
         rb_l = jnp.zeros((1, g * cout), F32)
 
-    # T halo: the pool path pre-stacks overlapping windows (they overlap by
-    # more than +-1); everything else passes the activation as a zero-copy
-    # tile reshape plus a 2-row-per-tile halo tensor (`split_time_tiles`)
-    # and the kernel assembles the window in-register.  Blocks are 5-D so
+    # T halo: every path pre-stacks overlapping (tile+2)-row windows (the
+    # pool path's windows overlap by more than +-1).  Blocks are 5-D so
     # the last-two-dim tiling constraints land on the aligned (FB, G*C)
     # axes.
     x2 = x.reshape(b, t, f * cin)
     n = g * cout
     pool_arg = None
-    halo = None
     if pool is not None:
         from .pallas_pool import pool_geometry
 
@@ -351,19 +313,12 @@ def fused_conv_block(
         o_spec = pl.BlockSpec(out_block, lambda i, j: (i, j, 0, 0),
                               memory_space=pltpu.VMEM)
 
-    # All conv paths pre-stack the (tile+2)-row windows: one DMA per block.
-    # A zero-copy main + 2-row halo split (`split_time_tiles`) was measured
-    # SLOWER here (36.5 -> 39.3 ms M2SNet step, round-4 NOTES) — the extra
-    # tiny halo DMA per grid step costs more than the +2/tile stacking copy
-    # it saves; the split pays off only where the stacked alternative is an
-    # overlapping scatter-add (the pool backward, `pallas_pool.py`).
-    kern = functools.partial(
+    kern_fn = functools.partial(
         _conv_kernel, tile=tile, fb=fbn, g=g, cin=cin,
         cout=cout, res_mode=res_mode, mxu_dtype=mxu_dtype,
         pool=pool_arg, t_valid=t, relu=relu, edge=edge,
-        fb_squeezed=fb_squeezed, pre_haloed=True,
+        fb_squeezed=fb_squeezed,
     )
-    kern_fn = lambda xt, *rest, _k=kern: _k(xt, None, *rest)
     operands = (xtiles, wbig, scale_l, bias_l, resw, rs_l, rb_l)
     in_specs = [x_spec]
 

@@ -329,9 +329,9 @@ class DDPMTrainer:
         packing (10 blocks of einsum/tile/update-slice) is constant across
         steps — inside the jit it re-ran every step as a latency-bound
         dynamic-update-slice chain (round-4 stage-2 profile).  Rebuilt only
-        when the cache is empty; a checkpoint restore before the first step
-        (the supported flow) is therefore picked up, a mid-run swap of
-        ``feat_variables`` needs `reset_caches()`."""
+        when the cache is empty; any restore or swap of ``feat_variables``
+        on an already-stepped trainer must call `reset_caches()` (the CLI
+        checkpoint-restore path does)."""
         if (self.cfg.train.lambda_feat == 0.0
                 or self.cfg.train.feat_impl != "pallas"):
             return None

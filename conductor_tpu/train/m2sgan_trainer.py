@@ -312,8 +312,9 @@ class M2SGANTrainer:
         """Packed frozen SyncLoss ST-GCN weights, built ONCE outside the
         jitted step (same hoist as `DDPMTrainer._feat_pack`: the encoder is
         frozen, so packing inside the jit re-ran a constant
-        einsum/tile/update-slice chain every step).  Mid-run swaps of
-        ``sync_variables`` need `reset_caches()`."""
+        einsum/tile/update-slice chain every step).  Any restore or swap of
+        ``sync_variables`` on an already-stepped trainer must call
+        `reset_caches()` (the CLI checkpoint-restore path does)."""
         if self.sync_encoder_impl != "pallas":
             return None
         if self._sync_pack_cache is None:

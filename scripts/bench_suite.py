@@ -71,6 +71,7 @@ def serving_config():
             compute_dtype="bfloat16",
             layer_impl="pallas_fused",
             sampler_adaln_int8=True,
+            music_encoder_impl="pallas",
         )
     )
 

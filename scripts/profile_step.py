@@ -106,7 +106,7 @@ def build_stage2():
     return step
 
 
-def build_sample():
+def build_sample(batch: int = 8, music_impl: str = "flax"):
     import dataclasses
 
     from conductor_tpu.config import Config
@@ -117,12 +117,13 @@ def build_sample():
         denoiser=dataclasses.replace(
             cfg.denoiser, attention_impl="pallas", compute_dtype="bfloat16",
             layer_impl="pallas_fused", sampler_adaln_int8=True,
+            music_encoder_impl=music_impl,
         )
     )
     trainer = DDPMTrainer(cfg)
     rng = jax.random.PRNGKey(0)
     state = trainer.init_state(rng)
-    mel = jax.random.uniform(rng, (8, 5400, cfg.dataset.mel_bins))
+    mel = jax.random.uniform(rng, (batch, 5400, cfg.dataset.mel_bins))
 
     def step():
         return trainer.generate(state, mel, rng, num_steps=50)
@@ -137,6 +138,11 @@ SURFACES = {
     "m2sgan_cached": lambda: build_m2sgan(cached=True),
     "stage2": build_stage2,
     "sample": build_sample,
+    # the production single-clip serving call (VERDICT r4 #1): B=1, ddim50,
+    # fused music encoder — the surface whose ~34 ms fixed overhead the
+    # round-5 work decomposes
+    "sample1_ddim50": lambda: build_sample(batch=1, music_impl="pallas"),
+    "sample1_ddim50_flaxenc": lambda: build_sample(batch=1, music_impl="flax"),
 }
 
 

@@ -90,6 +90,88 @@ def test_precompute_skips_existing(env):
     assert n == 0  # all cached already
 
 
+class TestCacheProvenance:
+    """Sidecar metadata keys each on-disk cache to the frozen weights that
+    produced it: same-shaped caches from a different checkpoint/init seed
+    must never be silently reused (ADVICE r4)."""
+
+    def _encode(self, mel):
+        return np.asarray(mel)[:, ::3, :64] * 2.0
+
+    @pytest.fixture()
+    def root(self, tmp_path):
+        root = str(tmp_path / "cm100")
+        make_synthetic_dataset(root, "train", num_clips=2)
+        return root
+
+    def test_matching_meta_reuses(self, root):
+        meta = {"fingerprint": "abc", "impl": "flax"}
+        n = precompute_music_features(self._encode, root, "train", meta=meta)
+        assert n == 2
+        n = precompute_music_features(self._encode, root, "train", meta=meta)
+        assert n == 0  # sidecar matches: fill-missing only
+
+    def test_mismatched_meta_raises(self, root):
+        precompute_music_features(
+            self._encode, root, "train", meta={"fingerprint": "abc"}
+        )
+        with pytest.raises(ValueError, match="overwrite"):
+            precompute_music_features(
+                self._encode, root, "train", meta={"fingerprint": "OTHER"}
+            )
+
+    def test_mismatched_meta_overwrite_recomputes(self, root):
+        precompute_music_features(
+            self._encode, root, "train", meta={"fingerprint": "abc"}
+        )
+        n = precompute_music_features(
+            lambda mel: self._encode(mel) + 1.0, root, "train",
+            meta={"fingerprint": "OTHER"}, overwrite=True,
+        )
+        assert n == 2  # every file rewritten under the new weights
+        # and the sidecar now records the new provenance
+        n = precompute_music_features(
+            self._encode, root, "train", meta={"fingerprint": "OTHER"}
+        )
+        assert n == 0
+
+    def test_legacy_cache_without_sidecar_raises(self, root):
+        # cache written with provenance checking off (meta=None) ...
+        precompute_music_features(self._encode, root, "train")
+        # ... then a keyed caller cannot prove whose weights produced it
+        with pytest.raises(ValueError, match="sidecar"):
+            precompute_music_features(
+                self._encode, root, "train", meta={"fingerprint": "abc"}
+            )
+
+    def test_sync_latent_meta(self, root):
+        from conductor_tpu.data.feature_cache import precompute_sync_latents
+
+        latent = lambda m: np.asarray(m).reshape(m.shape[0], m.shape[1], -1)[..., :4]
+        meta = {"fingerprint": "s1", "sample_length": 10}
+        n = precompute_sync_latents(
+            latent, root, "train", sample_length=10, meta=meta
+        )
+        assert n == 2
+        with pytest.raises(ValueError, match="overwrite"):
+            precompute_sync_latents(
+                latent, root, "train", sample_length=30,
+                meta={"fingerprint": "s1", "sample_length": 30},
+            )
+
+    def test_tree_fingerprint_sensitivity(self):
+        from conductor_tpu.data.feature_cache import tree_fingerprint
+
+        a = {"w": np.ones((3, 2), np.float32), "b": np.zeros((2,), np.float32)}
+        b = {"w": np.ones((3, 2), np.float32), "b": np.zeros((2,), np.float32)}
+        assert tree_fingerprint(a) == tree_fingerprint(b)
+        b["w"][0, 0] = 2.0
+        assert tree_fingerprint(a) != tree_fingerprint(b)
+        # dtype and structure changes also move the fingerprint
+        c = {"w": np.ones((3, 2), np.float64), "b": np.zeros((2,), np.float32)}
+        assert tree_fingerprint(a) != tree_fingerprint(c)
+
+
 class TestSyncLatentCache:
     """Per-window frozen SyncLoss latent cache (M2SGAN cached_sync_latents)."""
 
