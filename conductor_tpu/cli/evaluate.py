@@ -71,6 +71,11 @@ def main(argv=None) -> None:
         import dataclasses
 
         cfg = cfg.replace(denoiser=dataclasses.replace(cfg.denoiser, **overrides))
+    # legacy run dirs may carry "auto" knobs — resolve for this backend so
+    # the guard below (and the trainer) see concrete impls
+    from ..config import resolve_auto
+
+    cfg = resolve_auto(cfg)
     if args.adaln_int8 and cfg.denoiser.layer_impl != "pallas_fused":
         # the flax sampling branch never reads sampler_adaln_int8; without
         # this guard the "int8" artifact would silently come from the exact

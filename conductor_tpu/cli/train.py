@@ -58,18 +58,27 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_heads", type=int, default=8)
     p.add_argument("--no_eff", action="store_true", help="quadratic attention fallback")
     p.add_argument("--schedule", default="linear", choices=["linear", "cosine"])
-    p.add_argument("--compute_dtype", default="float32",
-                   choices=["float32", "bfloat16"],
-                   help="activation/matmul dtype (params stay f32)")
-    p.add_argument("--feat_impl", default="flax", choices=["flax", "pallas"],
+    p.add_argument("--compute_dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="activation/matmul dtype (params stay f32); "
+                        "auto = bf16 on TPU, f32 elsewhere")
+    p.add_argument("--feat_impl", default="auto",
+                   choices=["auto", "flax", "pallas"],
                    help="perceptual-loss ST-GCN: fused frozen-encoder "
-                        "kernels (ops/pallas_stgcn.py) vs composable flax")
-    p.add_argument("--train_layer_impl", default="flax",
-                   choices=["flax", "pallas_fused"],
+                        "kernels (ops/pallas_stgcn.py) vs composable flax; "
+                        "auto = pallas on TPU")
+    p.add_argument("--train_layer_impl", default="auto",
+                   choices=["auto", "flax", "pallas_fused"],
                    help="fused whole-layer training kernels (fwd + custom_vjp "
                         "bwd, ops/pallas_layer_bwd.py); ~2x the denoiser "
                         "fwd+bwd, requires dropout 0 / efficient attention / "
-                        "no --replicate_reference_mask")
+                        "no --replicate_reference_mask; auto = pallas_fused "
+                        "on TPU when those hold")
+    p.add_argument("--faithful", action="store_true",
+                   help="reference-exact preset: pin every implementation "
+                        "knob to the flax/XLA f32 path that reproduces the "
+                        "reference's numerics bit-for-bit (the default is "
+                        "the parity-pinned TPU-first fast configuration)")
     p.add_argument("--cached_features", action="store_true",
                    help="precompute frozen music-encoder features once and "
                         "train from the cache (numerically identical, ~2x step)")
@@ -132,6 +141,16 @@ def main(argv=None) -> None:
             feat_impl=args.feat_impl,
         ),
     )
+    if args.faithful:
+        from ..config import pin_faithful
+
+        cfg = pin_faithful(cfg)
+    else:
+        # persist the RESOLVED impl knobs: the run dir's config.json should
+        # say exactly which paths trained this model, not "auto"
+        from ..config import resolve_auto
+
+        cfg = resolve_auto(cfg)
     run_dir = os.path.join(args.checkpoints_dir, cfg.dataset.name, args.name)
     os.makedirs(run_dir, exist_ok=True)
     cfg.save(os.path.join(run_dir, "config.json"))

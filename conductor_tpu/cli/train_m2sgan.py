@@ -56,20 +56,29 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="keep the generator's random-init music encoder; the "
                         "M2SNet checkpoint still supplies the SyncLoss net "
                         "(reference --transfer_music_encoder False)")
-    p.add_argument("--music_encoder_impl", default="flax", choices=["flax", "pallas"],
-                   help="frozen music-encoder path: flax f32 or fused bf16 kernels")
-    p.add_argument("--music_conv_impl", default="lax",
-                   choices=["lax", "pallas_train"],
+    p.add_argument("--music_encoder_impl", default="auto",
+                   choices=["auto", "flax", "pallas"],
+                   help="frozen music-encoder path: flax f32 or fused bf16 "
+                        "kernels; auto = pallas on TPU (flax with "
+                        "--train_music_encoder)")
+    p.add_argument("--music_conv_impl", default="auto",
+                   choices=["auto", "lax", "pallas_train"],
                    help="music-encoder conv impl inside the generator: "
-                        "pallas_train = packed trainable kernels (the fast "
-                        "path when --train_music_encoder is set)")
-    p.add_argument("--sync_encoder_dtype", default="float32",
-                   choices=["float32", "bfloat16"],
-                   help="frozen SyncLoss ST-GCN compute dtype")
-    p.add_argument("--sync_encoder_impl", default="flax",
-                   choices=["flax", "pallas"],
+                        "pallas_train = packed trainable kernels; auto = "
+                        "pallas_train on TPU when --train_music_encoder is "
+                        "set, lax otherwise")
+    p.add_argument("--sync_encoder_dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="frozen SyncLoss ST-GCN compute dtype; auto = bf16 "
+                        "on TPU")
+    p.add_argument("--sync_encoder_impl", default="auto",
+                   choices=["auto", "flax", "pallas"],
                    help="frozen SyncLoss ST-GCN as fused whole-network "
-                        "kernels (ops/pallas_stgcn.py)")
+                        "kernels (ops/pallas_stgcn.py); auto = pallas on TPU")
+    p.add_argument("--faithful", action="store_true",
+                   help="reference-exact preset: flax/lax f32 everywhere "
+                        "(the default is the parity-pinned TPU-first fast "
+                        "configuration)")
     p.add_argument("--cached_features", action="store_true",
                    help="precompute the FROZEN music encoder's features once "
                         "per dataset and train from the cache — bit-identical "
@@ -96,6 +105,11 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_argparser().parse_args(argv)
+    if args.faithful:
+        args.music_encoder_impl = "flax"
+        args.music_conv_impl = "lax"
+        args.sync_encoder_dtype = "float32"
+        args.sync_encoder_impl = "flax"
     run_dir = os.path.join(args.checkpoints_dir, "M2SGAN", args.name)
     os.makedirs(run_dir, exist_ok=True)
 
@@ -157,7 +171,9 @@ def main(argv=None) -> None:
                     "params": g_vars["params"]["music_encoder"],
                     "batch_stats": g_vars["batch_stats"]["music_encoder"],
                 }),
-                "music_encoder_impl": args.music_encoder_impl,
+                # the RESOLVED impl ("auto" maps per backend; pallas runs
+                # bf16 kernels whose features differ from flax f32)
+                "music_encoder_impl": trainer.music_encoder_impl,
             },
         )
         print(f"feature cache: {n} clips precomputed")
@@ -174,8 +190,8 @@ def main(argv=None) -> None:
             meta={
                 "fingerprint": tree_fingerprint(state.sync_variables),
                 "sample_length": args.sample_length,
-                "sync_encoder_dtype": args.sync_encoder_dtype,
-                "sync_encoder_impl": args.sync_encoder_impl,
+                "sync_encoder_dtype": str(trainer.sync_encoder.dtype),
+                "sync_encoder_impl": trainer.sync_encoder_impl,
             },
         )
         print(f"sync-latent cache: {n} clips precomputed")

@@ -45,14 +45,19 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--continue", dest="is_continue", action="store_true",
                    help="resume from the run dir's latest checkpoint "
                         "(reference --M2SNet ckpt path)")
-    p.add_argument("--music_conv_impl", default="lax",
-                   choices=["lax", "pallas_train"],
+    p.add_argument("--music_conv_impl", default="auto",
+                   choices=["auto", "lax", "pallas_train"],
                    help="music-encoder conv-stage impl: lax (XLA convs) or "
                         "pallas_train (packed trainable kernels, NOTES.md "
-                        "'M2SNet encoder profile')")
-    p.add_argument("--compute_dtype", default="float32",
-                   choices=["float32", "bfloat16"],
-                   help="encoder compute dtype (bf16 = opt-in fast path)")
+                        "'M2SNet encoder profile'); auto = pallas_train on TPU")
+    p.add_argument("--compute_dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="encoder compute dtype; auto = bf16 on TPU, f32 "
+                        "elsewhere")
+    p.add_argument("--faithful", action="store_true",
+                   help="reference-exact preset: lax convs + f32 on any "
+                        "backend (the default is the parity-pinned TPU-first "
+                        "fast configuration)")
     p.add_argument("--share_encodes", action="store_true",
                    help="encode each music/motion once per step and fuse "
                         "pairs in latent space (2x fewer encodes; BN stats "
@@ -81,6 +86,8 @@ def main(argv=None) -> None:
     run_dir = os.path.join(args.checkpoints_dir, "M2SNet", name)
     os.makedirs(run_dir, exist_ok=True)
 
+    if args.faithful:
+        args.compute_dtype, args.music_conv_impl = "float32", "lax"
     trainer = M2SNetTrainer(
         sample_length=args.sample_length, clip_length=args.clip_length, lr=args.lr,
         compute_dtype=args.compute_dtype, share_encodes=args.share_encodes,

@@ -60,17 +60,22 @@ class DenoiserConfig:
     music_latent_dim: int = 64      # MusicEncoder output width
     music_width: int = 512          # xf_proj / xf_out width after `linear` (`transformer.py:404`)
     efficient_attention: bool = True  # linear attention; False = quadratic (`--no_eff`)
-    attention_impl: str = "xla"       # "xla" | "pallas" (fused TPU kernel, ops/pallas_attention.py)
-    compute_dtype: str = "float32"    # "float32" | "bfloat16" — activation/matmul dtype
-                                      # (params stay float32; MXU is 2x at bf16)
+    # Implementation knobs default to "auto": the TPU-first fast path on TPU
+    # hardware, the portable XLA/flax path elsewhere (CPU tests, debugging).
+    # `resolve_auto` maps them at trainer/CLI construction;
+    # `Config.faithful()` pins every one to the reference-exact value.
+    attention_impl: str = "auto"      # "auto" | "xla" | "pallas" (fused TPU kernel, ops/pallas_attention.py)
+    compute_dtype: str = "auto"       # "auto" | "float32" | "bfloat16" — activation/matmul
+                                      # dtype (params stay float32; MXU is 2x at bf16)
     adaln_mode: str = "sliced"        # "sliced" | "batched" AdaLN application (perf knob)
-    layer_impl: str = "flax"          # "flax" | "pallas_fused" — sampling-path layer impl
-                                      # (fused whole-layer kernel, ops/pallas_layer.py)
-    train_layer_impl: str = "flax"    # "flax" | "pallas_fused" — training-path layer impl
-                                      # (fused fwd + custom_vjp bwd kernels,
+    layer_impl: str = "auto"          # "auto" | "flax" | "pallas_fused" — sampling-path layer
+                                      # impl (fused whole-layer kernel, ops/pallas_layer.py)
+    train_layer_impl: str = "auto"    # "auto" | "flax" | "pallas_fused" — training-path layer
+                                      # impl (fused fwd + custom_vjp bwd kernels,
                                       # ops/pallas_layer_bwd.py; requires dropout=0,
-                                      # efficient attention, full src_mask)
-    music_encoder_impl: str = "flax"  # "flax" | "pallas" — frozen-encoder impl for
+                                      # efficient attention, full src_mask — "auto" falls
+                                      # back to flax when those don't hold)
+    music_encoder_impl: str = "auto"  # "auto" | "flax" | "pallas" — frozen-encoder impl for
                                       # generation/eval (fused conv kernels,
                                       # ops/pallas_conv.py; <2% feature drift at bf16)
     sampler_vpu_dtype: str = "float32"  # "float32" | "bfloat16" — elementwise/
@@ -137,7 +142,8 @@ class TrainConfig:
     # Perceptual-loss ST-GCN implementation: "pallas" runs the frozen
     # encoder as single fused kernels fwd+bwd (ops/pallas_stgcn.py) instead
     # of ~60 composable-XLA HBM passes; same math (BN stats folded).
-    feat_impl: str = "flax"          # "flax" | "pallas"
+    # "auto": pallas on TPU, flax elsewhere (`resolve_auto`).
+    feat_impl: str = "auto"          # "auto" | "flax" | "pallas"
     log_every: int = 5
     save_latest: int = 500
     save_every_e: int = 5
@@ -154,6 +160,85 @@ class MeshConfig:
     seq_parallel: int = 1
 
 
+# "auto" implementation knobs resolve per backend at trainer/CLI
+# construction: the TPU-first fast paths — all parity-pinned vs the
+# reference-exact implementations in tests/ — are the DEFAULT on TPU
+# hardware; everywhere else (CPU CI, debugging) the portable XLA/flax paths
+# keep kernels out of interpret mode.  Numerics-affecting beyond bf16
+# (sampler int8 AdaLN, bf16 VPU transcendentals) and anything that writes
+# artifacts to disk (feature caches) stay opt-in.
+_AUTO_FIELDS = {
+    # (denoiser field) -> (tpu value, portable value)
+    "attention_impl": ("pallas", "xla"),
+    "compute_dtype": ("bfloat16", "float32"),
+    "layer_impl": ("pallas_fused", "flax"),
+    "train_layer_impl": ("pallas_fused", "flax"),
+    "music_encoder_impl": ("pallas", "flax"),
+}
+
+
+def resolve_impl(value: str, tpu_value: str, portable_value: str,
+                 backend: str | None = None) -> str:
+    """Map one "auto" implementation knob to its backend-resolved value."""
+    if value != "auto":
+        return value
+    if backend is None:
+        import jax
+
+        backend = jax.default_backend()
+    return tpu_value if backend == "tpu" else portable_value
+
+
+def resolve_auto(cfg: "Config", backend: str | None = None) -> "Config":
+    """Resolve every "auto" implementation knob for the active (or given)
+    backend.  Fused training layers additionally require dropout 0, linear
+    attention, and the full src_mask — "auto" falls back to flax when any
+    of those doesn't hold (an EXPLICIT "pallas_fused" still asserts).
+    Idempotent; trainers call this first."""
+    d = cfg.denoiser
+    resolved = {
+        k: resolve_impl(getattr(d, k), tpu, portable, backend)
+        for k, (tpu, portable) in _AUTO_FIELDS.items()
+    }
+    if not d.efficient_attention:
+        # the fused kernels implement linear attention only
+        for k in ("attention_impl", "layer_impl", "train_layer_impl"):
+            if getattr(d, k) == "auto":
+                resolved[k] = {"attention_impl": "xla"}.get(k, "flax")
+    if d.train_layer_impl == "auto" and (
+        d.dropout != 0.0 or cfg.train.replicate_reference_mask
+    ):
+        resolved["train_layer_impl"] = "flax"
+    feat = cfg.train.feat_impl
+    if feat == "auto":
+        feat = resolve_impl(feat, "pallas", "flax", backend)
+    if resolved == {k: getattr(d, k) for k in resolved} and feat == cfg.train.feat_impl:
+        return cfg
+    return cfg.replace(
+        denoiser=dataclasses.replace(d, **resolved),
+        train=dataclasses.replace(cfg.train, feat_impl=feat),
+    )
+
+
+def pin_faithful(cfg: "Config") -> "Config":
+    """Pin an existing Config's implementation knobs to the reference-exact
+    set (see `Config.faithful`), leaving model/training hyperparameters as
+    given."""
+    return cfg.replace(
+        denoiser=dataclasses.replace(
+            cfg.denoiser,
+            attention_impl="xla",
+            compute_dtype="float32",
+            layer_impl="flax",
+            train_layer_impl="flax",
+            music_encoder_impl="flax",
+            sampler_vpu_dtype="float32",
+            sampler_adaln_int8=False,
+        ),
+        train=dataclasses.replace(cfg.train, feat_impl="flax"),
+    )
+
+
 @dataclass(frozen=True)
 class Config:
     dataset: DatasetSpec = field(default_factory=DatasetSpec)
@@ -161,6 +246,16 @@ class Config:
     diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    @classmethod
+    def faithful(cls, **sections: Any) -> "Config":
+        """The reference-exact preset: every implementation knob pinned to
+        the path that reproduces the reference's numerics bit-for-bit on any
+        backend — flax/XLA modules, f32 activations, no fused kernels.  The
+        "auto" defaults are the TPU-first fast configuration instead
+        (parity-pinned, but bf16); use this preset (CLI: `--faithful`) for
+        cross-framework comparisons and checkpoint-exact reproductions."""
+        return pin_faithful(cls(**sections))
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)

@@ -62,7 +62,9 @@ class TrainState(flax.struct.PyTreeNode):
 
 
 def make_denoiser(cfg: Config) -> MotionTransformer:
-    d = cfg.denoiser
+    from ..config import resolve_auto
+
+    d = resolve_auto(cfg).denoiser  # "auto" impls -> this backend's paths
     return MotionTransformer(
         input_feats=d.input_feats,
         num_frames=d.num_frames,
@@ -86,6 +88,9 @@ class DDPMTrainer:
     jitted train/generate functions over `TrainState` pytrees."""
 
     def __init__(self, cfg: Config):
+        from ..config import resolve_auto
+
+        cfg = resolve_auto(cfg)  # "auto" impl knobs -> this backend's paths
         self.cfg = cfg
         self.model = make_denoiser(cfg)
         # the frozen perceptual-loss ST-GCN follows the training compute
@@ -125,6 +130,7 @@ class DDPMTrainer:
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._generate_cache: dict = {}
         self._feat_pack_cache = None
+        self._sampling_pack_cache = None
 
     # ------------------------------------------------------------------ init
 
@@ -346,10 +352,44 @@ class DDPMTrainer:
             )
         return self._feat_pack_cache
 
+    def _sampling_pack(self, state: TrainState):
+        """Mel- and step-count-independent sampling constants — the fused
+        layers' packed/int8-quantized weight stacks and the full temb ladder
+        — built OUTSIDE the per-call generate jit: they depend only on the
+        params, and rebuilding them inside every serving call cost ~1 ms of
+        stack/quantize/update-slice graph per clip (round-5 ddim50 profile).
+        Keyed on the IDENTITY of ``state.params``: a server generating from
+        one state object hits the cache, while any freshly trained/restored
+        state (a new params tree) rebuilds automatically — params are NOT
+        frozen, so a content-blind cache would silently serve stale weights."""
+        cache = self._sampling_pack_cache
+        if cache is not None and cache[0] is state.params:
+            return cache[1]
+
+        def build(params, batch_stats):
+            out = {
+                "temb_table": self.model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    self.cfg.diffusion.steps,
+                    method=self.model.time_embed_table,
+                )
+            }
+            if self.cfg.denoiser.layer_impl == "pallas_fused":
+                from .fused_denoiser import FusedDenoiser
+
+                out["fused"] = FusedDenoiser(params, self.cfg).export_pack()
+            return out
+
+        pack = jax.jit(build)(state.params, state.batch_stats)
+        self._sampling_pack_cache = (state.params, pack)
+        return pack
+
     def reset_caches(self) -> None:
-        """Drop derived-weight caches (packed frozen encoders).  Call after
-        swapping frozen subtrees on an already-stepped trainer."""
+        """Drop derived-weight caches (packed frozen encoders, sampling
+        packs).  Call after swapping frozen subtrees or params on an
+        already-stepped trainer."""
         self._feat_pack_cache = None
+        self._sampling_pack_cache = None
 
     def train_step(self, state: TrainState, batch, rng: jax.Array):
         """One jitted optimizer step.  ``batch = (mel, motion, m_lens)`` with
@@ -402,13 +442,14 @@ class DDPMTrainer:
                     guidance_scale=guidance_scale, sampler=sampler,
                 )
             )
-        return self._generate_cache[key](state, mel, rng)
+        return self._generate_cache[key](state, mel, rng, self._sampling_pack(state))
 
     def _generate_impl(
         self,
         state: TrainState,
         mel: jnp.ndarray,
         rng: jax.Array,
+        pack: dict,
         *,
         sched: DiffusionSchedule,
         guidance_scale: float,
@@ -441,9 +482,7 @@ class DDPMTrainer:
         cond = self.model.apply(
             variables, xf_proj, xf_out, method=self.model.precompute_cond
         )
-        temb_table = self.model.apply(
-            variables, self.cfg.diffusion.steps, method=self.model.time_embed_table
-        )
+        temb_table = pack["temb_table"]  # hoisted: params-only constant
         cond = dict(cond, temb_table=temb_table)
         null_cond = None
         if guidance_scale != 1.0:
@@ -458,7 +497,7 @@ class DDPMTrainer:
         if self.cfg.denoiser.layer_impl == "pallas_fused":
             from .fused_denoiser import FusedDenoiser
 
-            fused = FusedDenoiser(state.params, self.cfg)
+            fused = FusedDenoiser(state.params, self.cfg, pack=pack["fused"])
             cond = fused.prepare_cond(cond)
             if null_cond is not None:
                 null_cond = fused.prepare_cond(null_cond)

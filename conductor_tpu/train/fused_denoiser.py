@@ -90,7 +90,19 @@ def expand_block_diag(kv: jnp.ndarray) -> jnp.ndarray:
 class FusedDenoiser:
     """Callable denoiser built from packed weights + a precomputed cond."""
 
-    def __init__(self, params, cfg: Config):
+    # the packed-weight pytree (`export_pack`): everything `__init__` derives
+    # from the (frozen) params — mel- and step-count-independent, so serving
+    # callers hoist it out of the per-call jit (`DDPMTrainer._sampling_pack`)
+    PACK_FIELDS = (
+        "mats", "vecs", "adaln_w", "adaln_w_scale", "adaln_b",
+        "w_joint", "b_joint", "seq_emb", "w_t1", "b_t1", "w_t2", "b_t2",
+        "w_out", "b_out",
+    )
+
+    def __init__(self, params, cfg: Config, pack: dict | None = None):
+        from ..config import resolve_auto
+
+        cfg = resolve_auto(cfg)  # direct callers may pass "auto" impl knobs
         self.cfg = cfg
         d = cfg.denoiser
         self.num_heads = d.num_heads
@@ -98,6 +110,13 @@ class FusedDenoiser:
         self.mxu_dtype = jnp.dtype(d.compute_dtype)
         self.vpu_dtype = jnp.dtype(getattr(d, "sampler_vpu_dtype", "float32"))
         self.adaln_int8 = bool(getattr(d, "sampler_adaln_int8", False))
+        if pack is not None:
+            # prebuilt weight pack (export_pack of an equivalent config):
+            # skips the stack/quantize graph entirely
+            self.adaln_w_scale = None
+            for k, v in pack.items():
+                setattr(self, k, v)
+            return
         # mats/adaln_w feed the MXU (cast inside the kernel anyway) — store
         # them at mxu_dtype to halve per-step HBM weight traffic at bf16.
         # vecs stay f32 (VPU adds).  All layers stacked along a leading axis
@@ -127,6 +146,15 @@ class FusedDenoiser:
         self.b_t2 = jnp.asarray(p["time_embed_2"]["bias"])
         self.w_out = jnp.asarray(p["out"]["kernel"])
         self.b_out = jnp.asarray(p["out"]["bias"])
+
+    def export_pack(self) -> dict:
+        """The derived-weight pytree for `__init__(..., pack=)`; None-valued
+        fields (adaln_w_scale without int8) are omitted."""
+        return {
+            k: getattr(self, k)
+            for k in self.PACK_FIELDS
+            if getattr(self, k) is not None
+        }
 
     def prepare_cond(self, cond) -> dict:
         """`MotionTransformer.precompute_cond` output -> fused-path cond."""

@@ -58,14 +58,28 @@ class M2SGANTrainer:
         w_gp: float = 10.0,
         noise_dim: int = 8,
         gp_terms: tuple[str, ...] = ("real_fake",),
-        music_encoder_impl: str = "flax",  # "flax" | "pallas" (fused bf16)
-        sync_encoder_dtype: str = "float32",  # frozen SyncLoss ST-GCN dtype
-        sync_encoder_impl: str = "flax",   # "flax" | "pallas" (fused kernels)
+        music_encoder_impl: str = "auto",  # "auto" | "flax" | "pallas" (fused bf16)
+        sync_encoder_dtype: str = "auto",  # frozen SyncLoss ST-GCN dtype
+        sync_encoder_impl: str = "auto",   # "auto" | "flax" | "pallas" (fused kernels)
         train_music_encoder: bool = False,
-        music_conv_impl: str = "lax",  # "lax" | "pallas_train" (packed kernels)
+        music_conv_impl: str = "auto",  # "auto" | "lax" | "pallas_train" (packed kernels)
         cached_features: bool = False,
         cached_sync_latents: bool = False,
     ):
+        # "auto" impl knobs: the parity-pinned fast paths on TPU, the
+        # reference-exact flax/lax/f32 paths elsewhere (CLI: --faithful pins
+        # the latter everywhere).  The frozen-encoder fused path is illegal
+        # with train_music_encoder, so "auto" resolves around it.
+        from ..config import resolve_impl
+
+        music_encoder_impl = resolve_impl(
+            music_encoder_impl, "flax" if train_music_encoder else "pallas", "flax"
+        )
+        sync_encoder_dtype = resolve_impl(sync_encoder_dtype, "bfloat16", "float32")
+        sync_encoder_impl = resolve_impl(sync_encoder_impl, "pallas", "flax")
+        music_conv_impl = resolve_impl(
+            music_conv_impl, "pallas_train" if train_music_encoder else "lax", "lax"
+        )
         self.sample_length = sample_length
         self.critic_iters = critic_iters
         self.w_adv, self.w_sync, self.w_mse, self.w_gp = w_adv, w_sync, w_mse, w_gp

@@ -41,21 +41,29 @@ class M2SNetTrainer:
         clip_length: int = 10,
         lr: float = 1e-3,
         latent_dim: int = 64,
-        compute_dtype: str = "float32",
+        compute_dtype: str = "auto",
         share_encodes: bool = False,
         remat: bool = False,
         microbatch: int = 1,
-        music_conv_impl: str = "lax",
+        music_conv_impl: str = "auto",
     ):
         """``compute_dtype="bfloat16"`` runs the conv encoders in bf16
-        (params/BN stats stay f32); ``share_encodes=True`` encodes each
-        distinct music/motion ONCE per step and fuses the 4 pair
-        combinations from the latents — the reference re-encodes per pair
-        (`M2SNet_train.py:88-91`), so its BN running stats see 4 sequential
-        updates/step instead of 2.  Both are opt-in fast paths; defaults
-        reproduce the reference exactly.  In eval mode (frozen BN stats)
-        shared and unshared forwards are identical
+        (params/BN stats stay f32); ``music_conv_impl="pallas_train"`` runs
+        the music-encoder conv stages as packed trainable Pallas kernels
+        (`ops/conv_train.py`).  Both default to "auto": the fast path on
+        TPU, the reference-exact lax/f32 path elsewhere — pass explicit
+        "float32"/"lax" (CLI: --faithful) for byte-exact reference numerics
+        on TPU.  ``share_encodes=True`` encodes each distinct music/motion
+        ONCE per step and fuses the 4 pair combinations from the latents —
+        the reference re-encodes per pair (`M2SNet_train.py:88-91`), so its
+        BN running stats see 4 sequential updates/step instead of 2; that
+        changes BN batch composition, so it stays opt-in.  In eval mode
+        (frozen BN stats) shared and unshared forwards are identical
         (`test_stage1.test_share_encodes_eval_parity`)."""
+        from ..config import resolve_impl
+
+        compute_dtype = resolve_impl(compute_dtype, "bfloat16", "float32")
+        music_conv_impl = resolve_impl(music_conv_impl, "pallas_train", "lax")
         # ``remat=True`` wraps each encoder forward in `jax.checkpoint`: the
         # backward pass recomputes the conv activations instead of keeping
         # them resident.  The music-encoder temps are the HBM hot spot — XLA
