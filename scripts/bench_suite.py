@@ -91,6 +91,7 @@ def bench_sampling(results: list[dict]) -> None:
         ("sample_1clip_ddim1000", None, None),   # single-clip latency
         ("sample_wave8_ddim1000", 8, None),      # eval-sweep serving shape
         ("sample_1clip_ddim50", None, 50),       # respaced production path
+        ("sample_wave8_ddim50", 8, 50),          # respaced batched serving
     ):
         B = 1 if per_chip is None else max(1, n_chips) * per_chip
         mel = jax.random.uniform(rng, (B, T90, cfg.dataset.mel_bins))
@@ -106,11 +107,43 @@ def bench_sampling(results: list[dict]) -> None:
                            n_chips=n_chips),
         })
 
+    # Pipelined single-clip serving: K back-to-back ddim50 calls with a
+    # forced data dependency (clip i+1's mel consumes a scalar of clip i's
+    # motion, so calls cannot overlap and the final readback proves all K
+    # finished).  Separates the per-clip cost a streaming server pays from
+    # the blocking-latency number above, which on this image is dominated by
+    # the tunneled host<->TPU round trip (~26 ms for a trivial jitted op —
+    # see NOTES.md round-5 serving decomposition).
+    K = 10
+    mel = jax.random.uniform(rng, (1, T90, cfg.dataset.mel_bins))
+
+    def chain():
+        out = jnp.zeros((1, T30, cfg.denoiser.input_feats))
+        for i in range(K):
+            m = mel + 0.0 * out[0, 0, 0]
+            out = trainer.generate(
+                state, m, jax.random.fold_in(rng, i), num_steps=50
+            )
+        return out
+
+    sec = timed(chain) / K
+    from conductor_tpu.utils.flops import sampling_mfu
+
+    results.append({
+        "surface": "sample_1clip_ddim50_pipelined_x10",
+        "seconds": round(sec, 5),
+        "frames_per_sec_per_chip": round(T30 / sec / n_chips, 1),
+        "batch": 1,
+        **sampling_mfu(cfg, 1, T30, 50, sec, n_chips=n_chips),
+    })
+
 
 def bench_stage2_train(results: list[dict]) -> None:
     """Flagship training config from the README table: 30-s windows,
-    batch 32, cached stage-1 features, bf16 compute, fused whole-layer
-    training kernels, fused frozen ST-GCN perceptual net."""
+    cached stage-1 features, bf16 compute, fused whole-layer training
+    kernels, fused frozen ST-GCN perceptual net — measured at B = 32 (the
+    reference recipe's global batch, `Diffusion_Stage/README.md:100-109`)
+    and at 64/128 for the MFU-vs-batch scaling record (VERDICT r4 #6)."""
     from conductor_tpu.config import Config
     from conductor_tpu.train.ddpm_trainer import DDPMTrainer
 
@@ -128,28 +161,29 @@ def bench_stage2_train(results: list[dict]) -> None:
     )
     trainer = DDPMTrainer(cfg)
     rng = jax.random.PRNGKey(0)
-    state = trainer.init_state(rng)
-    B, S = 32, 30
-    feats = jax.random.uniform(rng, (B, S * 30, 64))   # cached encoder output
-    motion = jax.random.uniform(rng, (B, S * 30, 13, 2))
-    m_lens = jnp.full((B,), 60, jnp.int32)
-
-    holder = {"state": state}
-
-    def step():
-        holder["state"], metrics = trainer.train_step(
-            holder["state"], (feats, motion, m_lens), rng
-        )
-        return metrics["loss"]
-
-    sec = timed_steps(step)
     from conductor_tpu.utils.flops import train_step_mfu
 
-    results.append({
-        "surface": "train_step_stage2_b32_cached_fused",
-        "ms_per_step": round(sec * 1e3, 2),
-        **train_step_mfu(cfg, B, S * 30, sec),
-    })
+    S = 30
+    for B in (32, 64, 128):
+        state = trainer.init_state(rng)
+        feats = jax.random.uniform(rng, (B, S * 30, 64))  # cached encoder output
+        motion = jax.random.uniform(rng, (B, S * 30, 13, 2))
+        m_lens = jnp.full((B,), 60, jnp.int32)
+
+        holder = {"state": state}
+
+        def step():
+            holder["state"], metrics = trainer.train_step(
+                holder["state"], (feats, motion, m_lens), rng
+            )
+            return metrics["loss"]
+
+        sec = timed_steps(step)
+        results.append({
+            "surface": f"train_step_stage2_b{B}_cached_fused",
+            "ms_per_step": round(sec * 1e3, 2),
+            **train_step_mfu(cfg, B, S * 30, sec),
+        })
 
 
 def bench_m2snet(results: list[dict]) -> None:
@@ -224,6 +258,31 @@ def bench_m2sgan(results: list[dict]) -> None:
             "surface": f"m2sgan_step_b55_fused{tag}",
             "ms_per_step": round(sec * 1e3, 2),
         })
+
+    # the UNFROZEN-encoder configuration (reference --train_music_encoder):
+    # generator updates reach the transferred music encoder, so the frozen
+    # fast paths don't apply — the packed trainable conv kernels
+    # (ops/conv_train.py, post-round-4 d(kernel) + halo-split pool backward)
+    # carry the encoder fwd+bwd instead (VERDICT r4 #3)
+    trainer = M2SGANTrainer(
+        sample_length=30, train_music_encoder=True,
+        music_conv_impl="pallas_train",
+        sync_encoder_dtype="bfloat16", sync_encoder_impl="pallas",
+    )
+    state = trainer.init_state(rng)
+    holder = {"state": state}
+
+    def step_te():
+        holder["state"], metrics = trainer.train_step(
+            holder["state"], (mel, motion), rng
+        )
+        return metrics["w_distance"]
+
+    sec = timed_steps(step_te, k=10)
+    results.append({
+        "surface": "m2sgan_step_b55_train_encoder_packed",
+        "ms_per_step": round(sec * 1e3, 2),
+    })
 
 
 SURFACES = {
