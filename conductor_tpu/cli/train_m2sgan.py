@@ -67,6 +67,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "pallas_train = packed trainable kernels; auto = "
                         "pallas_train on TPU when --train_music_encoder is "
                         "set, lax otherwise")
+    p.add_argument("--compute_dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="generator compute dtype; auto = bf16 on TPU when "
+                        "--train_music_encoder is set (the f32 packed conv "
+                        "temps at batch 55 x 30 s exceed v5e HBM), float32 "
+                        "otherwise (reference-exact)")
     p.add_argument("--sync_encoder_dtype", default="auto",
                    choices=["auto", "float32", "bfloat16"],
                    help="frozen SyncLoss ST-GCN compute dtype; auto = bf16 "
@@ -108,6 +114,7 @@ def main(argv=None) -> None:
     if args.faithful:
         args.music_encoder_impl = "flax"
         args.music_conv_impl = "lax"
+        args.compute_dtype = "float32"
         args.sync_encoder_dtype = "float32"
         args.sync_encoder_impl = "flax"
     run_dir = os.path.join(args.checkpoints_dir, "M2SGAN", args.name)
@@ -121,6 +128,7 @@ def main(argv=None) -> None:
         sync_encoder_impl=args.sync_encoder_impl,
         train_music_encoder=args.train_music_encoder,
         music_conv_impl=args.music_conv_impl,
+        compute_dtype=args.compute_dtype,
         cached_features=args.cached_features,
         cached_sync_latents=args.cached_sync_latents,
     )

@@ -207,6 +207,10 @@ def fused_max_pool(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, t_out, fb, (g // 2) * c), x.dtype),
+        # f32 inputs (the GAN's reference-exact trainable encoder) double the
+        # per-block temps vs the bf16 path and sit just over the 16M scoped
+        # default at the stride-3 stage's 456-row tiles (measured: 16.11M)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(main, halo)
     return out.reshape(b, t_out, f // 2, c)

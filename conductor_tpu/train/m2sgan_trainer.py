@@ -63,6 +63,7 @@ class M2SGANTrainer:
         sync_encoder_impl: str = "auto",   # "auto" | "flax" | "pallas" (fused kernels)
         train_music_encoder: bool = False,
         music_conv_impl: str = "auto",  # "auto" | "lax" | "pallas_train" (packed kernels)
+        compute_dtype: str = "auto",  # Generator dtype when the encoder trains
         cached_features: bool = False,
         cached_sync_latents: bool = False,
     ):
@@ -80,6 +81,20 @@ class M2SGANTrainer:
         music_conv_impl = resolve_impl(
             music_conv_impl, "pallas_train" if train_music_encoder else "lax", "lax"
         )
+        # Generator compute dtype (same knob as M2SNetTrainer.compute_dtype,
+        # which owns the same conv encoder in stage 1).  "auto" resolves to
+        # bf16 on TPU ONLY for the trainable-encoder configuration: there the
+        # encoder fwd+bwd dominates the step AND the f32 lane-padded conv
+        # temps at the reference batch (55 x 30 s) need 19.2G — over v5e
+        # HBM (measured; same wall the M2SNet README notes hit at f32 b32).
+        # With the encoder frozen the trainable remainder is small, f32 is
+        # ~free, and keeping it preserves the pinned reference numerics.
+        compute_dtype = resolve_impl(
+            compute_dtype,
+            "bfloat16" if train_music_encoder else "float32",
+            "float32",
+        )
+        self.compute_dtype = compute_dtype
         self.sample_length = sample_length
         self.critic_iters = critic_iters
         self.w_adv, self.w_sync, self.w_mse, self.w_gp = w_adv, w_sync, w_mse, w_gp
@@ -126,6 +141,7 @@ class M2SGANTrainer:
         self.G = Generator(
             freeze_music_encoder=not train_music_encoder,
             music_conv_impl=music_conv_impl,
+            dtype=jnp.dtype(compute_dtype),
         )
         self.D = Discriminator1DCNN()
         # frozen perceptual net: like the stage-2 feature loss, its matmuls

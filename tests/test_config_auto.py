@@ -120,6 +120,10 @@ def test_stage1_trainers_resolve_auto_on_cpu():
     # frozen-only fused encoder instead of raising
     g2 = M2SGANTrainer(sample_length=4, train_music_encoder=True)
     assert g2.music_encoder_impl == "flax"
+    # Generator compute dtype: "auto" stays f32 off-TPU (and, on TPU, only
+    # goes bf16 for the trainable-encoder configuration)
+    assert g.compute_dtype == "float32"
+    assert g2.compute_dtype == "float32"
 
 
 def test_resolve_impl_passthrough():

@@ -303,6 +303,39 @@ class TestM2SGANTrainer:
         for k, v in metrics.items():
             assert np.isfinite(float(v)), k
 
+    def test_train_music_encoder_bf16_packed_step(self, rng):
+        """The TPU-first trainable-encoder configuration (what "auto"
+        resolves to on TPU: bf16 generator + packed conv kernels — the f32
+        conv temps at the reference batch exceed v5e HBM, see the trainer's
+        compute_dtype note): one step is finite, updates the encoder, and
+        its w_distance tracks the f32/lax step from the same init."""
+        mel = jax.random.uniform(rng, (2, 6 * 90, 128))
+        real = jax.random.uniform(jax.random.fold_in(rng, 1), (2, 180, 13, 2))
+
+        ref = M2SGANTrainer(
+            sample_length=6, critic_iters=1, train_music_encoder=True
+        )
+        fast = M2SGANTrainer(
+            sample_length=6, critic_iters=1, train_music_encoder=True,
+            music_conv_impl="pallas_train", compute_dtype="bfloat16",
+        )
+        assert str(fast.G.dtype) == "bfloat16"
+        s_ref = ref.init_state(rng)
+        s_fast = fast.init_state(rng)
+
+        def first_leaf(state):
+            return np.asarray(
+                jax.tree_util.tree_leaves(state.g_params["music_encoder"])[0]
+            )
+
+        before = first_leaf(s_fast)
+        s_ref, m_ref = ref.train_step(s_ref, (mel, real), rng)
+        s_fast, m_fast = fast.train_step(s_fast, (mel, real), rng)
+        for k, v in m_fast.items():
+            assert np.isfinite(float(v)), k
+        assert np.abs(first_leaf(s_fast) - before).max() > 0
+        assert abs(float(m_ref["w_distance"]) - float(m_fast["w_distance"])) < 0.05
+
     def test_train_music_encoder_rejects_pallas_encoder(self, rng):
         import pytest
 
