@@ -74,6 +74,32 @@ def build_m2sgan(cached: bool = False):
     return step
 
 
+def build_m2sgan_te():
+    """Unfrozen-encoder GAN step (reference --train_music_encoder) at the
+    reference batch, in the TPU "auto" configuration: bf16 generator +
+    packed trainable conv kernels."""
+    from conductor_tpu.train.m2sgan_trainer import M2SGANTrainer
+
+    trainer = M2SGANTrainer(
+        sample_length=30, train_music_encoder=True,
+        sync_encoder_dtype="bfloat16", sync_encoder_impl="pallas",
+        music_conv_impl="pallas_train", compute_dtype="bfloat16",
+    )
+    rng = jax.random.PRNGKey(0)
+    B = 55
+    mel = jax.random.uniform(rng, (B, 30 * 90, 128))
+    motion = jax.random.uniform(rng, (B, 30 * 30, 13, 2))
+    holder = {"state": trainer.init_state(rng)}
+
+    def step():
+        holder["state"], metrics = trainer.train_step(
+            holder["state"], (mel, motion), rng
+        )
+        return metrics["w_distance"]
+
+    return step
+
+
 def build_stage2():
     import dataclasses
 
@@ -136,6 +162,7 @@ SURFACES = {
     "m2snet_lax": lambda: build_m2snet("lax"),
     "m2sgan": build_m2sgan,
     "m2sgan_cached": lambda: build_m2sgan(cached=True),
+    "m2sgan_te": build_m2sgan_te,
     "stage2": build_stage2,
     "sample": build_sample,
     # the production single-clip serving call (VERDICT r4 #1): B=1, ddim50,
